@@ -1,0 +1,189 @@
+"""Keyword-based content-type + legal-domain classification.
+
+The reference's ``TextClassifier`` (``core/classifier.py:26-464``) needs
+pickled sklearn models discovered on disk; with no model present
+``is_ready()`` is False and classification yields no labels, so the
+crawler stores everything as content_type='other' with domains=[]
+(``core/storage.py:183,147``).  sklearn is not available in this
+container, so this module makes the *feature* layer the classifier:
+
+- keyword frequency scoring with the reference's exact dictionaries and
+  normalization (``ml/features.py:34-84`` keyword sets;
+  ``ml/features.py:400-422,514-534`` scoring: per-keyword
+  ``\\b``-bounded case-insensitive counts, normalized by keyword-set size,
+  then row-normalized);
+- content_type = argmax keyword score (ties: dictionary order
+  question/answer/article/profile; all-zero -> 'other');
+- domains = all domains with positive score, sorted by score descending
+  (reference sorts predictions by probability,
+  ``core/classifier.py:242-243``).
+
+The sklearn model path is intentionally stubbed: loading a pickled model
+raises ``NotImplementedError`` with a pointer here.
+"""
+
+from __future__ import annotations
+
+import re
+
+from crawler_ray.functions.text import normalize_persian_text
+
+__all__ = [
+    "LEGAL_DOMAINS_KEYWORDS", "CONTENT_TYPE_KEYWORDS",
+    "domain_scores", "content_type_scores", "classify_text",
+    "KeywordClassifier",
+]
+
+# Parity with ``ml/features.py:34-60`` (legal domain keyword sets).
+LEGAL_DOMAINS_KEYWORDS: dict[str, list[str]] = {
+    "criminal": [
+        "جرم", "مجازات", "زندان", "حبس", "قصاص", "دیه", "تعزیر", "قانون مجازات",
+        "جزا", "بزهکار", "متهم", "مجرم", "شاکی", "بزه", "جنایت", "سرقت", "قتل",
+        "جرح", "ضرب", "حدود", "کلاهبرداری", "اختلاس", "ارتشا", "قاچاق",
+    ],
+    "civil": [
+        "قرارداد", "عقد", "معامله", "ارث", "وصیت", "قانون مدنی", "مالکیت", "بیع",
+        "اجاره", "وقف", "نکاح", "طلاق", "مهریه", "حضانت", "عقود", "تعهد", "تملیک",
+        "تملک", "خسارت", "مسئولیت مدنی", "ضمان", "رهن", "اسناد", "شرط", "الزام",
+    ],
+    "commercial": [
+        "تجارت", "شرکت", "سهام", "تاجر", "قانون تجارت", "ورشکستگی", "چک", "سفته",
+        "برات", "اوراق بهادار", "بورس", "قرارداد تجاری", "حق العمل کاری",
+        "ضمانت نامه", "حمل و نقل", "بیمه", "داوری تجاری", "مالیات", "مناقصه",
+        "مزایده",
+    ],
+    "administrative": [
+        "استخدام", "کارگر", "کارفرما", "حقوق کار", "قانون کار", "تأمین اجتماعی",
+        "بیمه", "مالیات", "تخلفات اداری", "دیوان عدالت اداری", "قانون شهرداری",
+        "امور اداری", "استخدام دولتی", "ترفیع", "انفصال", "کارمند", "خدمات کشوری",
+    ],
+    "constitutional": [
+        "قانون اساسی", "حقوق اساسی", "دولت", "مجلس", "قوه قضاییه", "قوه مجریه",
+        "قوه مقننه", "انتخابات", "نظام", "حکومت", "جمهوری", "رهبر",
+        "ریاست جمهوری", "وزیر", "وزارت", "نمایندگان", "شورای نگهبان",
+    ],
+}
+
+# Parity with ``ml/features.py:62-84`` (content-type keyword sets).
+CONTENT_TYPE_KEYWORDS: dict[str, list[str]] = {
+    "question": [
+        "سوال", "پرسش", "سؤال", "چرا", "چگونه", "آیا",
+        "چطور", "چیست", "کیست", "کجاست", "کدام",
+        "؟", "لطفا پاسخ دهید", "لطفا راهنمایی کنید",
+    ],
+    "answer": [
+        "پاسخ", "جواب", "در پاسخ به", "طبق قانون", "بر اساس قانون",
+        "با استناد به", "با توجه به قانون", "به موجب ماده", "طبق ماده",
+        "با احترام", "باید گفت", "باید عرض کنم",
+    ],
+    "article": [
+        "مقاله", "مقدمه", "چکیده", "نتیجه‌گیری", "بررسی", "تحلیل",
+        "پژوهش", "مطالعه", "یافته‌ها", "منابع", "مآخذ", "نتایج",
+        "ادبیات تحقیق", "روش‌شناسی", "روش تحقیق",
+    ],
+    "profile": [
+        "سوابق", "تحصیلات", "تخصص", "وکیل", "مشاور حقوقی", "قاضی",
+        "حقوقدان", "دانشگاه", "مدرک", "دکتری", "کارشناسی", "سابقه فعالیت",
+        "زمینه فعالیت", "حوزه تخصصی",
+    ],
+}
+
+
+def _compile(keyword_sets: dict[str, list[str]]):
+    """One ``\\b``-bounded pattern per keyword (``ml/features.py:406-408``);
+    counts are summed per set, so overlapping keywords double-count exactly
+    as the reference does."""
+    return {
+        name: [re.compile(r"\b" + re.escape(kw) + r"\b", re.IGNORECASE)
+               for kw in kws]
+        for name, kws in keyword_sets.items()
+    }
+
+
+_DOMAIN_PATTERNS = _compile(LEGAL_DOMAINS_KEYWORDS)
+_TYPE_PATTERNS = _compile(CONTENT_TYPE_KEYWORDS)
+
+
+def _keyword_scores(text: str, patterns, sizes) -> dict[str, float]:
+    """Per-set normalized frequency + row normalization
+    (``ml/features.py:400-422``)."""
+    raw = {}
+    for name, pats in patterns.items():
+        count = sum(len(p.findall(text)) for p in pats)
+        raw[name] = (count / sizes[name]) if count > 0 else 0.0
+    total = sum(raw.values())
+    if total > 0:
+        raw = {k: v / total for k, v in raw.items()}
+    return raw
+
+
+_DOMAIN_SIZES = {k: len(v) for k, v in LEGAL_DOMAINS_KEYWORDS.items()}
+_TYPE_SIZES = {k: len(v) for k, v in CONTENT_TYPE_KEYWORDS.items()}
+
+
+def domain_scores(text: str) -> dict[str, float]:
+    if not text:
+        return {k: 0.0 for k in LEGAL_DOMAINS_KEYWORDS}
+    return _keyword_scores(normalize_persian_text(text), _DOMAIN_PATTERNS,
+                           _DOMAIN_SIZES)
+
+
+def content_type_scores(text: str) -> dict[str, float]:
+    if not text:
+        return {k: 0.0 for k in CONTENT_TYPE_KEYWORDS}
+    return _keyword_scores(normalize_persian_text(text), _TYPE_PATTERNS,
+                           _TYPE_SIZES)
+
+
+def classify_text(text: str) -> dict:
+    """Classification record in the reference's result shape
+    (``core/classifier.py:416-438``: text_summary + content_type block +
+    domains block)."""
+    ct_scores = content_type_scores(text)
+    best_type = "other"
+    best_score = 0.0
+    for name in CONTENT_TYPE_KEYWORDS:  # dict order is the tie-break
+        if ct_scores[name] > best_score:
+            best_type, best_score = name, ct_scores[name]
+
+    d_scores = domain_scores(text)
+    ranked = sorted((d for d in d_scores.items() if d[1] > 0),
+                    key=lambda kv: (-kv[1], kv[0]))
+    return {
+        "text_summary": text[:100] + "..." if len(text) > 100 else text,
+        "content_type": {"content_type": best_type,
+                         "probabilities": ct_scores, "analysis": {}},
+        "domains": {"domains": [k for k, _ in ranked],
+                    "domain_details": [{"domain": k, "probability": v}
+                                       for k, v in ranked],
+                    "probabilities": d_scores},
+    }
+
+
+class KeywordClassifier:
+    """Callable-class form for ``map_batches(KeywordClassifier, ...)`` actor
+    pools (mirrors the reference's singleton ``TextClassifier``,
+    ``core/classifier.py:391-464``, loaded once per worker).  With keyword
+    dictionaries the state is tiny, but model-backed replacements slot in
+    here (load in ``__init__``, score in ``__call__``)."""
+
+    def __init__(self, model_path: str | None = None):
+        if model_path is not None:
+            raise NotImplementedError(
+                "pickled sklearn models are not supported in this "
+                "environment; the keyword scorer in "
+                "crawler_ray/functions/classify.py is the deterministic "
+                "default (see module docstring)")
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        texts = batch["content"].to_pylist()
+        types, domains = [], []
+        for t in texts:
+            result = classify_text(t or "")
+            types.append(result["content_type"]["content_type"])
+            domains.append(result["domains"]["domains"])
+        return batch.append_column(
+            "content_type", pa.array(types, type=pa.string())
+        ).append_column(
+            "domains", pa.array(domains, type=pa.list_(pa.string())))

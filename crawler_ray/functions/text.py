@@ -1,0 +1,134 @@
+"""Persian/Latin text normalization, tokenization and content hashing.
+
+Faithful reimplementations of the reference's text utilities (cited per
+function into ``/root/reference/``); these define the byte-level contracts
+for the similarity-hash dedup key and the normalized text used by the
+keyword classifier.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import string
+import unicodedata
+
+__all__ = [
+    "PERSIAN_CHARS_MAP", "PERSIAN_STOP_WORDS",
+    "normalize_persian_text", "tokenize_persian_text",
+    "calculate_text_hash", "similarity_hash", "is_similar_content",
+]
+
+# Character unification map — parity with ``utils/text.py:19-39``
+# (Arabic kaf/yeh -> Persian, Arabic-Indic digits -> ASCII, teh-marbuta ->
+# heh, hamza forms -> plain, zero-width non-joiner -> space).
+PERSIAN_CHARS_MAP = {
+    "ك": "ک",  # ARABIC KAF -> FARSI KEHEH
+    "ي": "ی",  # ARABIC YEH -> FARSI YEH
+    "١": "1", "٢": "2", "٣": "3", "٤": "4",
+    "٥": "5", "٦": "6", "٧": "7", "٨": "8",
+    "٩": "9", "٠": "0",
+    "ة": "ه",  # TEH MARBUTA -> HEH
+    "ئ": "ی",  # YEH WITH HAMZA -> FARSI YEH
+    "إ": "ا",  # ALEF WITH HAMZA BELOW -> ALEF
+    "أ": "ا",  # ALEF WITH HAMZA ABOVE -> ALEF
+    "آ": "ا",  # ALEF WITH MADDA -> ALEF
+    "ؤ": "و",  # WAW WITH HAMZA -> WAW
+    "‌": " ",       # ZWNJ -> space
+}
+
+_CHAR_TRANSLATION = str.maketrans(PERSIAN_CHARS_MAP)
+_WS_RE = re.compile(r"\s+")
+
+# 51 stop words — parity with ``utils/text.py:42-48``.
+PERSIAN_STOP_WORDS = [
+    "از", "به", "با", "در", "بر", "را", "که", "این", "آن", "و", "یا", "اما", "ولی",
+    "برای", "تا", "هر", "چه", "چرا", "اگر", "مگر", "پس", "نیز", "حتی", "همه", "هیچ",
+    "خود", "باید", "شاید", "چون", "زیرا", "بنابراین", "سپس", "گرچه", "درباره", "بدون",
+    "توسط", "علاوه", "بین", "همچنین", "بسیار", "برخی", "می", "های", "ها", "ی", "است",
+    "نیست", "بود", "شد", "شود", "کرد", "کند", "شده", "می‌شود", "می‌کند",
+    "دارد", "ندارد",
+]
+_STOP_WORD_SET = frozenset(PERSIAN_STOP_WORDS)
+
+_PUNCT_TRANSLATION = str.maketrans("", "", string.punctuation + "،؛؟»«!")
+
+
+def normalize_persian_text(text: str | None) -> str:
+    """Char unification + whitespace collapse + NFKD combining-mark strip.
+
+    Parity with ``utils/text.py:126-150`` (same operation order: char map,
+    then whitespace collapse/strip, then NFKD + drop combining marks).
+    """
+    if not text:
+        return ""
+    text = text.translate(_CHAR_TRANSLATION)
+    text = _WS_RE.sub(" ", text).strip()
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", text)
+        if not unicodedata.combining(c)
+    )
+
+
+def tokenize_persian_text(text: str | None, remove_stop_words: bool = True,
+                          remove_punctuation: bool = True) -> list[str]:
+    """Normalize -> strip punctuation -> split -> drop stop words.
+
+    Parity with ``utils/text.py:153-183`` (punctuation set includes the
+    Persian marks ``،؛؟»«!``).
+    """
+    if not text:
+        return []
+    text = normalize_persian_text(text)
+    if remove_punctuation:
+        text = text.translate(_PUNCT_TRANSLATION)
+    tokens = text.split()
+    if remove_stop_words:
+        tokens = [t for t in tokens if t not in _STOP_WORD_SET]
+    return tokens
+
+
+def calculate_text_hash(text: str | None, method: str = "md5") -> str | None:
+    """Normalize + collapse spaces, then hex digest.
+
+    Parity with ``utils/text.py:186-213`` (md5 default; sha1/sha256
+    variants; ``None`` for empty input).
+    """
+    if not text:
+        return None
+    text = normalize_persian_text(text)
+    text = " ".join(text.split())
+    data = text.encode("utf-8")
+    if method == "sha1":
+        return hashlib.sha1(data).hexdigest()
+    if method == "sha256":
+        return hashlib.sha256(data).hexdigest()
+    return hashlib.md5(data).hexdigest()
+
+
+def similarity_hash(content: str | None, method: str = "md5") -> str | None:
+    """Dedup key: md5 of the first 1000 chars of the normalized content.
+
+    Parity with ``models/content.py:70-102`` (``calculate_similarity_hash``).
+    """
+    if not content:
+        return None
+    normalized = normalize_persian_text(content)
+    signature = normalized[:1000]
+    data = signature.encode("utf-8")
+    if method == "sha256":
+        return hashlib.sha256(data).hexdigest()
+    return hashlib.md5(data).hexdigest()
+
+
+def is_similar_content(text1: str | None, text2: str | None,
+                       threshold: float = 0.8) -> bool:
+    """Length-ratio gate + equal-hash check (``utils/text.py:461-501``)."""
+    if not text1 or not text2:
+        return False
+    t1 = " ".join(normalize_persian_text(text1).split())
+    t2 = " ".join(normalize_persian_text(text2).split())
+    len_ratio = min(len(t1), len(t2)) / max(len(t1), len(t2))
+    if len_ratio < threshold:
+        return False
+    return calculate_text_hash(t1) == calculate_text_hash(t2)

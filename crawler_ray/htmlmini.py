@@ -1,0 +1,273 @@
+"""Minimal HTML DOM built on the stdlib ``html.parser``.
+
+The reference crawler does all of its HTML work through BeautifulSoup with
+the ``html.parser`` tree builder (e.g. ``core/content_extractor.py:176``,
+``utils/text.py:66``).  Neither ``bs4`` nor ``lxml`` is available in this
+environment, so this module provides a small DOM with the *subset* of the
+bs4 query API the reference's extraction algorithms rely on:
+
+- ``find_all(name(s), class_=..., attrs=...)`` / ``find(...)`` over
+  descendants in document (pre-) order;
+- ``get_text(separator=..., strip=...)`` with bs4 join semantics;
+- ``decompose()`` subtree removal;
+- ``Element.string`` (single-text-child accessor, used for ``<title>``);
+- multi-valued ``class`` matching: a regex / callable / plain-string
+  ``class_`` filter is tried against each individual class token and
+  against the full attribute string, mirroring bs4's
+  ``SoupStrainer._matches`` behaviour for multi-valued attributes.
+
+Both the serial conformance oracle and the Ray ``map_batches`` stages parse
+through this module, which is what makes the "byte-identical extracted text
+per url" contract (BASELINE.json ``input_hint``) well-defined and testable.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Callable, Iterable, Iterator, Optional, Union
+
+__all__ = ["Element", "TextNode", "parse_html"]
+
+# HTML void elements never take children (WHATWG list).
+_VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+_WS_RE = re.compile(r"\s+")
+
+ClassFilter = Union[str, re.Pattern, Callable[[Optional[str]], bool], None]
+NameFilter = Union[str, Iterable[str], None]
+
+
+class TextNode:
+    __slots__ = ("text", "parent")
+
+    def __init__(self, text: str, parent: "Element | None" = None):
+        self.text = text
+        self.parent = parent
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"TextNode({self.text!r})"
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None,
+                 parent: "Element | None" = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list[Union["Element", TextNode]] = []
+        self.parent = parent
+
+    # -- tree construction -------------------------------------------------
+    def _append_element(self, el: "Element") -> None:
+        el.parent = self
+        self.children.append(el)
+
+    def _append_text(self, text: str) -> None:
+        if self.children and isinstance(self.children[-1], TextNode):
+            # merge adjacent data chunks (html.parser may split on charrefs)
+            self.children[-1].text += text
+        else:
+            self.children.append(TextNode(text, self))
+
+    # -- attribute access --------------------------------------------------
+    def has_attr(self, name: str) -> bool:
+        return name in self.attrs
+
+    def get(self, name: str, default=None):
+        return self.attrs.get(name, default)
+
+    def __getitem__(self, name: str) -> str:
+        return self.attrs[name]
+
+    @property
+    def classes(self) -> list[str]:
+        raw = self.attrs.get("class")
+        return raw.split() if raw else []
+
+    @property
+    def string(self) -> Optional[str]:
+        """bs4 ``.string``: the text if this element has exactly one child
+        and that child is a text node; otherwise None."""
+        if len(self.children) == 1 and isinstance(self.children[0], TextNode):
+            return self.children[0].text
+        return None
+
+    # -- traversal ---------------------------------------------------------
+    def iter_descendants(self) -> Iterator["Element"]:
+        """All descendant elements in document (pre-) order, self excluded
+        (bs4 ``find_all`` searches descendants only)."""
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Element):
+                yield node
+                stack.extend(reversed(node.children))
+
+    def _iter_text(self) -> Iterator[str]:
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, TextNode):
+                yield node.text
+            else:
+                stack.extend(reversed(node.children))
+
+    # -- bs4-compatible queries -------------------------------------------
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        """bs4 semantics: join descendant strings with ``separator``;
+        with ``strip=True`` each string is stripped and empty ones are
+        skipped before joining."""
+        if strip:
+            parts = [s for s in (t.strip() for t in self._iter_text()) if s]
+        else:
+            parts = list(self._iter_text())
+        return separator.join(parts)
+
+    def find_all(self, name: NameFilter = None, attrs: dict | None = None,
+                 class_: ClassFilter = None, id: ClassFilter = None,
+                 href: bool | None = None, limit: int | None = None,
+                 ) -> list["Element"]:
+        out: list[Element] = []
+        for el in self.iter_descendants():
+            if _matches(el, name, attrs, class_, id, href):
+                out.append(el)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+
+    def find(self, name: NameFilter = None, attrs: dict | None = None,
+             class_: ClassFilter = None, id: ClassFilter = None,
+             href: bool | None = None) -> Optional["Element"]:
+        for el in self.iter_descendants():
+            if _matches(el, name, attrs, class_, id, href):
+                return el
+        return None
+
+    def decompose(self) -> None:
+        """Detach this subtree from its parent (no-op if already detached)."""
+        if self.parent is not None:
+            try:
+                self.parent.children.remove(self)
+            except ValueError:
+                pass
+            self.parent = None
+
+    # -- convenience -------------------------------------------------------
+    @property
+    def name(self) -> str:
+        """bs4 compatibility alias for the tag name."""
+        return self.tag
+
+    @property
+    def title(self) -> Optional["Element"]:
+        return self.find("title")
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<{self.tag} {self.attrs}>"
+
+
+def _value_matches(value: Optional[str], matcher: ClassFilter,
+                   split_tokens: bool) -> bool:
+    """Match one attribute value against a string / regex / callable filter.
+
+    For multi-valued attributes (class) the filter is tried against each
+    whitespace token and against the full attribute string, mirroring bs4.
+    """
+    candidates: list[Optional[str]]
+    if value is None:
+        candidates = [None]
+    elif split_tokens:
+        toks = value.split()
+        candidates = list(toks)
+        if len(toks) != 1:
+            candidates.append(value)  # bs4 also tries the joined string
+        if not toks:
+            candidates = [value]
+    else:
+        candidates = [value]
+
+    for cand in candidates:
+        if callable(matcher) and not isinstance(matcher, re.Pattern):
+            if matcher(cand):
+                return True
+        elif isinstance(matcher, re.Pattern):
+            if cand is not None and matcher.search(cand):
+                return True
+        else:  # plain string
+            if cand == matcher:
+                return True
+    return False
+
+
+def _matches(el: Element, name: NameFilter, attrs: dict | None,
+             class_: ClassFilter, id: ClassFilter,
+             href: bool | None) -> bool:
+    if name is not None:
+        if isinstance(name, str):
+            if el.tag != name:
+                return False
+        else:
+            if el.tag not in name:
+                return False
+    if class_ is not None:
+        if not _value_matches(el.attrs.get("class"), class_, split_tokens=True):
+            return False
+    if id is not None:
+        if not _value_matches(el.attrs.get("id"), id, split_tokens=False):
+            return False
+    if href is True and "href" not in el.attrs:
+        return False
+    if attrs:
+        for k, v in attrs.items():
+            if not _value_matches(el.attrs.get(k), v,
+                                  split_tokens=(k == "class")):
+                return False
+    return True
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Element("[document]")
+        self._stack: list[Element] = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        attr_dict: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attr_dict:  # keep first occurrence like bs4
+                attr_dict[k] = "" if v is None else v
+        el = Element(tag, attr_dict)
+        self._stack[-1]._append_element(el)
+        if tag not in _VOID_ELEMENTS:
+            self._stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        attr_dict = {k: ("" if v is None else v) for k, v in attrs}
+        self._stack[-1]._append_element(Element(tag, attr_dict))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+        # unmatched end tag: ignore
+
+    def handle_data(self, data):
+        self._stack[-1]._append_text(data)
+
+
+def parse_html(html: Union[str, bytes]) -> Element:
+    """Parse an HTML document into a mini-DOM root element."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
