@@ -94,19 +94,11 @@ def _paragraph(rng: random.Random, lang: str) -> str:
 
 
 def job_type_for_url(url: str) -> str:
-    """The engine's built-in URL pattern config for the synthetic sites:
-    ``/category/``-style URLs are list pages (matches the reference's URL
-    heuristics, ``core/structure_discovery.py:225-228``), ``/post/<id>``
-    URLs are detail pages; everything else is a generic page.  Shared by
-    the corpus generator, the serial oracle and the Ray pipeline so
-    job_type assignment is identical everywhere."""
-    from urllib.parse import urlparse
-    path = urlparse(url).path
-    if "/category/" in path or "/page/" in path:
-        return "list"
-    if "/post/" in path:
-        return "detail"
-    return "page"
+    """Job type the crawl assigns to a URL — delegates to the engine's
+    default URL pattern classifier so generator golden text, the serial
+    oracle and the Ray pipeline agree on job_type everywhere."""
+    from crawler_ray.functions.patterns import default_url_classifier
+    return default_url_classifier().job_type(url)
 
 
 # ---------------------------------------------------------------------------
@@ -173,12 +165,18 @@ def _plan_host(host: str, n_pages: int, seed: int) -> list[dict]:
                 "lang": "fa" if rng.random() < 0.5 else "en",
             })
 
+    # related links must point at real posts (the oracle fetch-joins them)
+    for idx, p in enumerate(posts):
+        p["related_urls"] = [post_urls[(idx - 1) % len(post_urls)],
+                             post_urls[(idx - 2) % len(post_urls)]]
+
     cat_first_pages = [lp["url"] for lp in list_pages if lp["page_no"] == 1]
     home = {
         "kind": "home", "host": host, "url": f"{base}/",
         "cat_urls": cat_first_pages,
         "latest_posts": post_urls[-8:],
         "query_link": post_urls[0] + "?ref=home" if post_urls else None,
+        "deep_link": f"{base}/deep/1",
         "lang": "en",
     }
     plans.append(home)
@@ -288,11 +286,8 @@ def render_page(plan: dict, seed: int = 42) -> dict:
         meta_bits, article_inner = _render_body_article(
             body_rng, lang, body_rng.randint(3, 7))
         title_txt = f"Post {plan['post_id']} {_words(rng, 3, lang)}"
-        rel = [f"{base}/post/{max(1, plan['post_id'] - k)}-"
-               f"{_SLUGS[(plan['post_id'] + k) % len(_SLUGS)]}"
-               for k in (1, 2)]
         related = "".join(f'<a href="{u}">related {i}</a>'
-                          for i, u in enumerate(rel))
+                          for i, u in enumerate(plan.get("related_urls", [])))
         cat_link = f'<a href="{base}/category/{plan["cat"]}/">back</a>'
         html = (f"<html><head><title>{title_txt} | {site_word}</title>"
                 f"{meta_bits}{head_extra}</head><body>"
@@ -332,6 +327,8 @@ def render_page(plan: dict, seed: int = 42) -> dict:
                          for u in plan["latest_posts"])
         extra = (f'<a href="{plan["query_link"]}">featured</a>'
                  if plan.get("query_link") else "")
+        extra += (f'<a href="{plan["deep_link"]}">archive</a>'
+                  if plan.get("deep_link") else "")
         html = (f"<html><head><title>Welcome | {site_word}</title>"
                 f"{head_extra}</head><body>"
                 f"<header><h2>{site_word}</h2></header>{nav}"

@@ -1,0 +1,469 @@
+"""The Ray crawl engine: shared scaffolding + the strict priority-replay
+mode.  (The relaxed wave mode lives in ``pipelines/wave.py``.)
+
+Two execution modes over the same operator set:
+
+- **strict** (this module): reproduces the serial oracle's global
+  priority-queue visit order *exactly* while running all expensive work
+  (fetch join, HTML parse, extraction, classification) in parallel.
+  The driver replays the priority queue — O(1) bookkeeping per URL — and
+  speculatively processes the K lowest unprocessed jobs per round in
+  parallel Ray tasks (one per corpus bucket).  Speculation is always
+  valid: admission is first-wins-at-enqueue, so every enqueued job is
+  eventually visited with the (url, depth, priority, job_type) fixed at
+  admission; only the *order* and the *admissions* are decided by the
+  serial replay, and those need just the per-page outlink lists.
+  This mirrors the reference's semantics (priority pop order,
+  ``core/crawler.py:595,954``) without its thread races.  Driver-resident
+  seen-set: strict mode is the conformance mode; the 10^10-scale path is
+  the wave mode with sharded seen actors.
+
+- **relaxed / wave** (``wave.py``): BFS waves of pure Dataset pipelines
+  with the sharded URL-seen actor pool — order is (wave, priority,
+  url_norm), the scale-out mode.
+
+Checkpoint/resume (strict): driver state (heap, seen, trace, politeness
+clocks) pickled every ``checkpoint_every`` rounds + extracted parquet
+parts are append-only per round; resume replays from the snapshot and
+re-processes at most one round of speculation (idempotent: finalize
+dedupes extracted parts by url_norm).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+import pickle
+import shutil
+from dataclasses import dataclass, field
+from urllib.parse import urlparse
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawler_ray.functions.patterns import (URLPatternClassifier,
+                                            default_url_classifier)
+from crawler_ray.functions.priority import (PriorityPolicyManager,
+                                            default_policy_manager)
+from crawler_ray.functions.urls import normalize_url
+from crawler_ray.sources.corpus_store import CorpusStore, bucket_of_url
+from crawler_ray.sources.robots import RobotsTable, parse_sitemap
+
+__all__ = ["CrawlConfig", "CrawlEngine"]
+
+TRACE_SCHEMA = pa.schema([
+    ("order", pa.int64()), ("url_norm", pa.string()),
+    ("depth", pa.int32()), ("job_type", pa.string()),
+    ("priority", pa.int32()), ("parent_url", pa.string()),
+    ("fetch_vts", pa.float64()), ("host", pa.string()),
+])
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 5
+    max_pages: int | None = None
+    respect_robots: bool = False
+    use_sitemaps: bool = True
+    default_delay: float = 1.0
+    classify: bool = True
+    ner_enabled: bool = False
+    # physical knobs
+    round_batch: int = 2048          # strict: K lowest jobs per round
+    extract_batch_size: int = 128    # rows per extract map_batches call
+    num_buckets: int = 16            # corpus hash buckets
+    seen_shards: int = 4             # wave mode: URL-seen actor shards
+    seen_mode: str = "exact"         # 'exact' | 'bloom'
+    checkpoint_every: int = 5        # strict rounds between snapshots
+    policies: PriorityPolicyManager = field(
+        default_factory=default_policy_manager)
+    patterns: URLPatternClassifier = field(
+        default_factory=default_url_classifier)
+
+
+def _load_small_tables(corpus_dir: str):
+    robots = RobotsTable.from_arrow(
+        pq.read_table(os.path.join(corpus_dir, "robots.parquet")))
+    seeds = pq.read_table(
+        os.path.join(corpus_dir, "seeds.parquet"))["url"].to_pylist()
+    sitemaps = pq.read_table(os.path.join(corpus_dir, "sitemaps.parquet"))
+    return robots, seeds, sitemaps
+
+
+def prepare_store(corpus_dir: str, work_dir: str,
+                  num_buckets: int) -> CorpusStore:
+    """Bucketize the pages corpus (idempotent), merging sitemap bodies so
+    the fetch join resolves them like any other URL."""
+    store_dir = os.path.join(work_dir, "corpus_store")
+    sm = pq.read_table(os.path.join(corpus_dir, "sitemaps.parquet"))
+    extra = pa.table({"url": sm["url"],
+                      "html": sm["body"].cast(pa.binary())})
+    return CorpusStore.build(os.path.join(corpus_dir, "pages"), store_dir,
+                             num_buckets=num_buckets, extra_tables=[extra])
+
+
+# ---------------------------------------------------------------------------
+# per-bucket fetch+extract worker (plain Ray task: the strict driver loop is
+# an iterative fixpoint the Dataset API cannot express; wave mode uses the
+# pure-Dataset pipeline instead)
+# ---------------------------------------------------------------------------
+
+def _process_bucket(bucket_path: str, meta: dict, out_dir: str,
+                    part_name: str, classify: bool, ner_enabled: bool,
+                    max_depth: int) -> list[tuple]:
+    """Fetch+extract+classify all jobs routed to one corpus bucket.
+
+    ``meta``: dict of equal-length lists (url_norm, depth, job_type,
+    priority, parent_url).  Writes the extracted rows as one parquet part
+    (atomic rename) and returns the driver's replay food:
+    [(url_norm, fetch_ok, links, sm_kind)] — links only (no content) cross
+    back to the driver.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from crawler_ray.stages.transforms import extract_classify_batch
+
+    urls = meta["url_norm"]
+    ds = pads.dataset(bucket_path, format="parquet")
+    fetched = ds.to_table(columns=["url", "html"],
+                          filter=pc.field("url").isin(urls))
+    html_map = dict(zip(fetched["url"].to_pylist(),
+                        fetched["html"].to_pylist()))
+
+    sm_results: list[tuple] = []
+    page_idx = [i for i, jt in enumerate(meta["job_type"])
+                if jt != "sitemap"]
+    out: list[tuple] = []
+
+    # sitemap jobs: parse, no extraction row (core/crawler.py:1278-1365)
+    for i, jt in enumerate(meta["job_type"]):
+        if jt != "sitemap":
+            continue
+        body = html_map.get(urls[i])
+        if body is None:
+            out.append((urls[i], False, [], ""))
+        else:
+            kind, found = parse_sitemap(body)
+            out.append((urls[i], True, found, kind))
+
+    if page_idx:
+        batch = pa.table({
+            "url_norm": pa.array([urls[i] for i in page_idx]),
+            "html": pa.array([html_map.get(urls[i]) for i in page_idx],
+                             pa.binary()),
+            "job_type": pa.array([meta["job_type"][i] for i in page_idx]),
+            "depth": pa.array([meta["depth"][i] for i in page_idx],
+                              pa.int32()),
+            "priority": pa.array([meta["priority"][i] for i in page_idx],
+                                 pa.int32()),
+            "parent_url": pa.array([meta["parent_url"][i]
+                                    for i in page_idx], pa.string()),
+        })
+        extracted = extract_classify_batch(batch, ner_enabled=ner_enabled,
+                                           classify=classify,
+                                           with_links=True)
+        links_col = extracted["links"].to_pylist()
+        ok_col = extracted["fetch_ok"].to_pylist()
+        depths = extracted["depth"].to_pylist()
+        for row_i, i in enumerate(page_idx):
+            # depth-limit check here saves shipping links the driver
+            # would drop (core/crawler.py:855 `depth < max_depth`)
+            links = (links_col[row_i]
+                     if depths[row_i] < max_depth and ok_col[row_i] else [])
+            out.append((urls[i], ok_col[row_i], links, ""))
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, f".{part_name}.tmp")
+        pq.write_table(extracted.drop_columns(["links"]), tmp)
+        os.replace(tmp, os.path.join(out_dir, f"{part_name}.parquet"))
+    return out
+
+
+@dataclass
+class _Job:
+    priority: int
+    seq: int
+    url: str
+    depth: int
+    job_type: str
+    parent: str | None
+
+    def key(self):
+        return (self.priority, self.seq)
+
+
+class CrawlEngine:
+    """Facade over the two execution modes."""
+
+    def __init__(self, corpus_dir: str, work_dir: str,
+                 config: CrawlConfig | None = None):
+        self.corpus_dir = corpus_dir
+        self.work_dir = work_dir
+        self.cfg = config or CrawlConfig()
+        os.makedirs(work_dir, exist_ok=True)
+        self.robots, self.seed_urls, self._sitemaps_table = \
+            _load_small_tables(corpus_dir)
+        self.store = prepare_store(corpus_dir, work_dir,
+                                   self.cfg.num_buckets)
+
+    # -- public API ---------------------------------------------------------
+    def run(self, mode: str = "strict", resume: bool = False) -> dict:
+        if mode == "strict":
+            return self._run_strict(resume=resume)
+        if mode in ("relaxed", "wave"):
+            from crawler_ray.pipelines.wave import run_wave_mode
+            return run_wave_mode(self, resume=resume)
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # -- strict mode --------------------------------------------------------
+    def _run_strict(self, resume: bool = False) -> dict:
+        import ray
+
+        cfg = self.cfg
+        out_dir = os.path.join(self.work_dir, "strict")
+        extracted_dir = os.path.join(out_dir, "extracted")
+        ckpt_path = os.path.join(out_dir, "driver_state.pkl")
+
+        heap: list[tuple] = []  # (priority, seq, _Job)
+        seen: set[str] = set()
+        trace: list[dict] = []
+        failed: list[dict] = []
+        last_vts: dict[str, float] = {}
+        stats = {"admitted": 0, "skipped": 0, "robots_denied": 0,
+                 "fetch_misses": 0, "rounds": 0}
+        seq_counter = [0]
+
+        def admit(url: str, depth: int, job_type: str | None,
+                  parent: str | None, parent_host: str | None) -> None:
+            norm = normalize_url(url)
+            if job_type != "sitemap":
+                if norm in seen or depth > cfg.max_depth:
+                    stats["skipped"] += 1
+                    return
+                host = urlparse(norm).netloc
+                if parent_host is not None and host != parent_host:
+                    stats["skipped"] += 1
+                    return
+                if cfg.respect_robots and not self.robots.can_fetch(
+                        host, urlparse(norm).path):
+                    stats["robots_denied"] += 1
+                    return
+            if job_type is None:
+                job_type = cfg.patterns.job_type(norm)
+            priority = cfg.policies.calculate_priority(norm, depth, job_type)
+            seen.add(norm)
+            job = _Job(priority, seq_counter[0], norm, depth, job_type,
+                       parent)
+            heapq.heappush(heap, (priority, job.seq, job))
+            seq_counter[0] += 1
+            stats["admitted"] += 1
+
+        if resume and os.path.exists(ckpt_path):
+            with open(ckpt_path, "rb") as f:
+                state = pickle.load(f)
+            heap = state["heap"]
+            seen = state["seen"]
+            trace = state["trace"]
+            failed = state["failed"]
+            last_vts = state["last_vts"]
+            stats = state["stats"]
+            seq_counter = state["seq_counter"]
+        else:
+            if os.path.exists(out_dir):
+                shutil.rmtree(out_dir)
+            os.makedirs(extracted_dir, exist_ok=True)
+            for seed in self.seed_urls:
+                host = urlparse(seed).netloc
+                sitemap_urls = (self.robots.sitemaps(host)
+                                if cfg.use_sitemaps else [])
+                if sitemap_urls:
+                    for sm_url in sitemap_urls:
+                        admit(sm_url, 0, "sitemap", None, None)
+                else:
+                    admit(seed, 0, "page", None, None)
+
+        results: dict[str, tuple] = {}  # url -> (ok, links, sm_kind)
+
+        def consume(job: _Job) -> None:
+            host = urlparse(job.url).netloc
+            last = last_vts.get(host)
+            vts = 0.0 if last is None else last + self.robots.delay(host)
+            last_vts[host] = vts
+            ok, links, sm_kind = results.pop(job.url)
+            if not ok:
+                failed.append({"url_norm": job.url, "job_type": job.job_type,
+                               "error": "fetch miss"})
+                stats["fetch_misses"] += 1
+                return
+            trace.append({"order": len(trace), "url_norm": job.url,
+                          "depth": job.depth, "job_type": job.job_type,
+                          "priority": job.priority,
+                          "parent_url": job.parent, "fetch_vts": vts,
+                          "host": host})
+            if job.job_type == "sitemap":
+                if sm_kind == "index":
+                    for u in links:
+                        admit(u, job.depth + 1, "sitemap", job.url, None)
+                else:
+                    for u in links:
+                        admit(u, 0, "page", job.url, None)
+            else:
+                for u in links:
+                    admit(u, job.depth + 1, None, job.url, host)
+
+        process_bucket = ray.remote(_process_bucket)
+        budget_hit = False
+        while heap and not budget_hit:
+            # phase 1: replay as far as results allow
+            while heap and heap[0][2].url in results:
+                if cfg.max_pages is not None and len(trace) >= cfg.max_pages:
+                    budget_hit = True
+                    break
+                consume(heapq.heappop(heap)[2])
+            if budget_hit or not heap:
+                break
+            # phase 2: speculatively process the K lowest unprocessed jobs
+            buf, batch = [], []
+            while heap and len(batch) < cfg.round_batch:
+                entry = heapq.heappop(heap)
+                buf.append(entry)
+                if entry[2].url not in results:
+                    batch.append(entry[2])
+            for entry in buf:
+                heapq.heappush(heap, entry)
+            by_bucket: dict[int, list[_Job]] = {}
+            for job in batch:
+                b = bucket_of_url(job.url, self.store.num_buckets)
+                by_bucket.setdefault(b, []).append(job)
+            refs = []
+            for b, jobs in by_bucket.items():
+                meta = {
+                    "url_norm": [j.url for j in jobs],
+                    "depth": [j.depth for j in jobs],
+                    "job_type": [j.job_type for j in jobs],
+                    "priority": [j.priority for j in jobs],
+                    "parent_url": [j.parent for j in jobs],
+                }
+                refs.append(process_bucket.remote(
+                    self.store.bucket_path(b), meta, extracted_dir,
+                    f"round{stats['rounds']:06d}-b{b:04d}",
+                    cfg.classify, cfg.ner_enabled, cfg.max_depth))
+            for res in ray.get(refs):
+                for url, ok, links, sm_kind in res:
+                    results[url] = (ok, links, sm_kind)
+            stats["rounds"] += 1
+            if stats["rounds"] % cfg.checkpoint_every == 0:
+                self._save_strict_ckpt(ckpt_path, heap, seen, trace, failed,
+                                       last_vts, stats, seq_counter)
+
+        self._save_strict_ckpt(ckpt_path, heap, seen, trace, failed,
+                               last_vts, stats, seq_counter)
+        trace_path = os.path.join(out_dir, "trace.parquet")
+        pq.write_table(self._trace_table(trace), trace_path)
+        items_path = finalize_content_items(
+            extracted_dir, os.path.join(out_dir, "content_items"),
+            order_of={t["url_norm"]: t["order"] for t in trace})
+        stats["visited"] = len(trace)
+        stats["seen"] = len(seen)
+        summary = {"mode": "strict", "stats": stats,
+                   "trace_path": trace_path,
+                   "extracted_dir": extracted_dir,
+                   "content_items": items_path}
+        with open(os.path.join(out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, default=str)
+        return summary
+
+    @staticmethod
+    def _trace_table(trace: list[dict]) -> pa.Table:
+        return pa.Table.from_pydict(
+            {name: [t[name] for t in trace]
+             for name in TRACE_SCHEMA.names}, schema=TRACE_SCHEMA)
+
+    @staticmethod
+    def _save_strict_ckpt(path, heap, seen, trace, failed, last_vts, stats,
+                          seq_counter):
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(tmp, "wb") as f:
+            pickle.dump({"heap": heap, "seen": seen, "trace": trace,
+                         "failed": failed, "last_vts": last_vts,
+                         "stats": stats, "seq_counter": seq_counter}, f,
+                        protocol=4)
+        os.replace(tmp, path)
+
+
+def finalize_content_items(extracted_dir: str, out_dir: str,
+                           order_of: dict[str, int] | None = None,
+                           order_cols: list[str] | None = None) -> str:
+    """Dedup-upsert finalization (``core/storage.py:103-211``) as a
+    distributed groupby: within each similarity_hash group the
+    first-visited row wins the insert (keeps url), the last-visited row's
+    title/content/content_type/meta overwrite (update semantics).
+
+    ``order_of``: visit order per url (strict mode; broadcast via
+    ``ray.put``).  ``order_cols``: columns already on the rows that sort
+    lexicographically in visit order (wave mode).
+    """
+    import glob as _glob
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    # Ray's read_parquet treats a *list* argument as files; expand dirs
+    dirs = ([extracted_dir] if isinstance(extracted_dir, str)
+            else list(extracted_dir))
+    files = sorted(f for d in dirs
+                   for f in _glob.glob(os.path.join(d, "**", "*.parquet"),
+                                       recursive=True))
+    ds = rd.read_parquet(files)
+    order_ref = ray.put(order_of) if order_of is not None else None
+
+    def prep(t: pa.Table) -> pa.Table:
+        import json as _json
+        import pyarrow.compute as pc
+        t = t.filter(pc.and_(t["fetch_ok"], pc.not_equal(t["content"], "")))
+        # list columns don't survive Ray's pandas block round-trip;
+        # JSON-encode domains before the pandas groupby stages
+        dom = pa.array([_json.dumps(d, ensure_ascii=False)
+                        for d in t["domains"].to_pylist()], pa.string())
+        keep = [c for c in t.column_names
+                if c not in ("domains", "links", "fetch_ok")]
+        return t.select(keep).append_column("domains_json", dom)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+
+    def attach_order(df: pd.DataFrame) -> pd.DataFrame:
+        omap = ray.get(order_ref)
+        df["__order"] = [omap.get(u, -1) for u in df["url_norm"]]
+        return df[df["__order"] >= 0]
+
+    if order_of is not None:
+        ds = ds.map_batches(attach_order, batch_format="pandas")
+        sort_cols = ["__order"]
+    else:
+        sort_cols = list(order_cols)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort")
+        # resume-safe: a url may appear in two parts; keep first occurrence
+        g = g.drop_duplicates(subset=["url_norm"], keep="first")
+        first, last = g.iloc[0], g.iloc[-1]
+        return pd.DataFrame([{
+            "url": first["url_norm"], "title": last["title"],
+            "content": last["content"], "content_type": last["content_type"],
+            "similarity_hash": first["similarity_hash"],
+            "date": last["date"], "author": last["author"],
+            "entities_json": last["entities_json"],
+            "domains_json": last["domains_json"],
+            "n_versions": len(g),
+            **{f"first_{c}": first[c] for c in sort_cols},
+        }])
+
+    items = ds.groupby("similarity_hash").map_groups(merge_group,
+                                                     batch_format="pandas")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    items.write_parquet(out_dir)
+    return out_dir

@@ -1,0 +1,191 @@
+"""Hash-bucketed corpus layout + the simulated-fetch join (SURVEY §2 J7).
+
+The reference fetches live over HTTP (``utils/http.py:244-332``); here
+"fetch" is a point-lookup join of the frontier against the Parquet pages
+corpus.  At 10^10-URL scale the corpus must never be scanned per wave, so
+it is bucketized ONCE by ``sha1(url) % B`` into ``bucket=NN/`` directories
+(each sorted by url, small row groups -> min/max stats prune row groups on
+``url IN (...)`` filters).  A fetch is then:
+
+    frontier -> add bucket column -> groupby(bucket)
+             -> per-bucket task reads ONLY its bucket with an `isin`
+                filter and hash-joins in memory
+
+i.e. the only shuffle is of the (tiny) frontier rows; corpus bytes move
+once from storage to the task that needs them.  Misses (URLs not in the
+corpus) surface as ``status_code=404, html=None`` rows, mirroring the
+reference's failed-fetch shape (``utils/http.py:265-272``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+__all__ = ["CorpusStore", "bucket_of_url"]
+
+_FETCH_COLS = ["url", "html"]
+
+
+def bucket_of_url(url: str, num_buckets: int) -> int:
+    return int.from_bytes(hashlib.sha1(url.encode()).digest()[:8],
+                          "big") % num_buckets
+
+
+class CorpusStore:
+    """A bucketized pages corpus on disk.
+
+    Layout: ``<root>/bucket=NN/part-*.parquet`` + ``_STORE.json`` manifest
+    (num_buckets, row count).  Build is idempotent and resumable: each
+    bucket directory is written atomically and skipped when present.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        with open(os.path.join(root, "_STORE.json")) as f:
+            meta = json.load(f)
+        self.num_buckets: int = meta["num_buckets"]
+        self.num_rows: int = meta.get("num_rows", -1)
+
+    # -- build --------------------------------------------------------------
+    @staticmethod
+    def build(pages_path: str, root: str, num_buckets: int = 16,
+              columns: list[str] | None = None,
+              extra_tables: list[pa.Table] | None = None) -> "CorpusStore":
+        """Bucketize ``pages_path`` into ``root``.  Uses a streaming
+        pyarrow scan (batch-at-a-time, constant memory) — suitable for the
+        sandbox scales; the same layout would be produced at cluster scale
+        by a Ray ``map_batches`` + ``partition_cols`` write.
+
+        ``extra_tables`` rows (at least url + html columns; e.g. sitemap
+        bodies, which the reference fetches through the same HTTP path,
+        ``core/crawler.py:1292``) are merged into the store so the fetch
+        join resolves them uniformly."""
+        manifest = os.path.join(root, "_STORE.json")
+        if os.path.exists(manifest):
+            return CorpusStore(root)
+        os.makedirs(root, exist_ok=True)
+        dataset = pads.dataset(pages_path, format="parquet")
+        cols = columns or dataset.schema.names
+        buffers: dict[int, list[pa.Table]] = {b: [] for b in range(num_buckets)}
+        n_rows = 0
+        import itertools
+
+        def _extra_batches():
+            for t_extra in (extra_tables or []):
+                arrays, names = [], []
+                for c in cols:
+                    names.append(c)
+                    if c in t_extra.column_names:
+                        arrays.append(t_extra[c].combine_chunks())
+                    else:
+                        typ = dataset.schema.field(c).type
+                        arrays.append(pa.nulls(t_extra.num_rows, type=typ))
+                yield from pa.Table.from_arrays(arrays,
+                                                names=names).to_batches()
+
+        for batch in itertools.chain(dataset.to_batches(columns=cols),
+                                     _extra_batches()):
+            if batch.num_rows == 0:
+                continue
+            t = pa.Table.from_batches([batch])
+            urls = t["url"].to_pylist()
+            bucket_ids = pa.array(
+                [bucket_of_url(u, num_buckets) for u in urls], pa.int32())
+            for b in range(num_buckets):
+                mask = pc.equal(bucket_ids, b)
+                if pc.any(mask).as_py():
+                    buffers[b].append(t.filter(mask))
+            n_rows += t.num_rows
+        for b, parts in buffers.items():
+            bdir = os.path.join(root, f"bucket={b:04d}")
+            tmp = bdir + ".tmp"
+            os.makedirs(tmp, exist_ok=True)
+            if parts:
+                table = pa.concat_tables(parts)
+                table = table.sort_by("url")
+            else:
+                table = dataset.head(0)
+            pq.write_table(table, os.path.join(tmp, "part-0.parquet"),
+                           row_group_size=2048)
+            os.rename(tmp, bdir)
+        with open(manifest, "w") as f:
+            json.dump({"num_buckets": num_buckets, "num_rows": n_rows}, f)
+        return CorpusStore(root)
+
+    # -- lookups ------------------------------------------------------------
+    def bucket_path(self, bucket: int) -> str:
+        return os.path.join(self.root, f"bucket={bucket:04d}")
+
+    def fetch_local(self, urls: list[str],
+                    columns: list[str] = tuple(_FETCH_COLS)) -> pa.Table:
+        """Serial fetch of ``urls`` (oracle / small-batch path).  Returns
+        one row per requested URL in request order; misses get null html."""
+        by_bucket: dict[int, list[str]] = {}
+        for u in urls:
+            by_bucket.setdefault(bucket_of_url(u, self.num_buckets),
+                                 []).append(u)
+        found: dict[str, dict] = {}
+        for b, bucket_urls in by_bucket.items():
+            ds = pads.dataset(self.bucket_path(b), format="parquet")
+            t = ds.to_table(columns=list(columns),
+                            filter=pc.field("url").isin(bucket_urls))
+            for row in t.to_pylist():
+                found[row["url"]] = row
+        out = {c: [] for c in columns}
+        for u in urls:
+            row = found.get(u)
+            for c in columns:
+                out[c].append(u if c == "url" else
+                              (row.get(c) if row else None))
+        schema_map = {f.name: f.type
+                      for f in pads.dataset(self.bucket_path(0),
+                                            format="parquet").schema}
+        arrays = [pa.array(out[c], type=schema_map.get(c)) for c in columns]
+        return pa.Table.from_arrays(arrays, names=list(columns))
+
+    def fetch_join(self, frontier_ds, columns: list[str] = tuple(_FETCH_COLS),
+                   keep_cols: list[str] | None = None):
+        """Distributed fetch join: frontier Dataset -> Dataset with corpus
+        columns appended (misses -> null html + status_code 404).
+
+        The frontier gets a bucket column and is shuffled by bucket (tiny
+        rows); each bucket group reads only its own bucket files with an
+        ``isin`` filter (row groups pruned via url min/max stats).
+        """
+        import pandas as pd
+
+        root = self.root
+        num_buckets = self.num_buckets
+        cols = [c for c in columns if c != "url"]
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            urls = batch["url_norm"].to_pylist()
+            b = pa.array([bucket_of_url(u, num_buckets) for u in urls],
+                         pa.int32())
+            return batch.append_column("fetch_bucket", b)
+
+        def fetch_group(group: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(group["fetch_bucket"].iloc[0])
+            path = os.path.join(root, f"bucket={bucket:04d}")
+            ds = pads.dataset(path, format="parquet")
+            urls = group["url_norm"].tolist()
+            t = ds.to_table(columns=["url"] + cols,
+                            filter=pc.field("url").isin(urls))
+            corpus_df = t.to_pandas().rename(columns={"url": "url_norm"})
+            merged = group.merge(corpus_df, on="url_norm", how="left")
+            merged["status_code"] = [
+                200 if ok else 404
+                for ok in merged[cols[0]].notna()
+            ] if cols else 200
+            return merged.drop(columns=["fetch_bucket"])
+
+        ds = frontier_ds.map_batches(add_bucket, batch_format="pyarrow")
+        return ds.groupby("fetch_bucket").map_groups(
+            fetch_group, batch_format="pandas")

@@ -1,0 +1,221 @@
+"""Crawl-trace + extraction + dedup conformance: the Ray engine must
+reproduce the serial oracle exactly (SURVEY.md §5 strategy).
+
+- strict mode  vs priority-queue oracle: identical visit ORDER (url,
+  depth, job_type, priority, parent, fetch_vts per slot)
+- wave mode    vs BFS oracle: identical (wave, priority, url) sequence
+- both: byte-identical extracted content vs the corpus golden `text`
+  column, identical content_items after similarity-hash dedup-upsert
+- resume: killing between waves and resuming yields identical output
+"""
+
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+from crawler_ray.pipelines.oracle import oracle_crawl
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _trace_key(row):
+    return (row["url_norm"], row["depth"], row["job_type"],
+            row["priority"], row["parent_url"], round(row["fetch_vts"], 6))
+
+
+@pytest.fixture(scope="module")
+def strict_run(small_corpus, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("work_strict"))
+    eng = CrawlEngine(small_corpus["dir"], work,
+                      CrawlConfig(round_batch=128))
+    summary = eng.run(mode="strict")
+    oracle = oracle_crawl(small_corpus["dir"], ordering="priority")
+    return summary, oracle, small_corpus["dir"]
+
+
+@pytest.fixture(scope="module")
+def wave_run(small_corpus, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("work_wave"))
+    eng = CrawlEngine(small_corpus["dir"], work, CrawlConfig())
+    summary = eng.run(mode="wave")
+    oracle = oracle_crawl(small_corpus["dir"], ordering="bfs")
+    return summary, oracle, small_corpus["dir"]
+
+
+class TestStrictConformance:
+    def test_trace_exact_order(self, strict_run):
+        summary, oracle, _ = strict_run
+        trace = pq.read_table(summary["trace_path"]).to_pylist()
+        assert len(trace) == len(oracle.trace) > 50
+        for eng_row, ora_row in zip(trace, oracle.trace):
+            assert _trace_key(eng_row) == _trace_key(ora_row)
+
+    def test_seen_membership(self, strict_run):
+        summary, oracle, _ = strict_run
+        assert summary["stats"]["seen"] == len(oracle.seen)
+        trace = pq.read_table(summary["trace_path"]).to_pylist()
+        assert {t["url_norm"] for t in trace} <= oracle.seen
+
+    def test_extracted_byte_identical_vs_golden(self, strict_run):
+        """Engine content must equal the corpus golden `text` column —
+        the BASELINE.json per-row invariant."""
+        summary, _, corpus_dir = strict_run
+        golden = dict(zip(
+            *[pq.read_table(os.path.join(corpus_dir, "pages"),
+                            columns=["url", "text"])[c].to_pylist()
+              for c in ("url", "text")]))
+        ext = pads.dataset(summary["extracted_dir"],
+                           format="parquet").to_table(
+            columns=["url_norm", "content", "job_type", "fetch_ok"])
+        n = 0
+        for url, content, jt, ok in zip(*[ext[c].to_pylist()
+                                          for c in ("url_norm", "content",
+                                                    "job_type",
+                                                    "fetch_ok")]):
+            if jt == "sitemap" or not ok:
+                continue
+            assert content == golden[url], f"content mismatch for {url}"
+            n += 1
+        assert n > 50
+
+    def test_content_items_match_oracle(self, strict_run):
+        summary, oracle, _ = strict_run
+        items = pads.dataset(summary["content_items"],
+                             format="parquet").to_table().to_pylist()
+        assert len(items) == len(oracle.content_items)
+        by_url = {r["url"]: r for r in items}
+        for o in oracle.content_items:
+            e = by_url[o["url"]]
+            assert e["content"] == o["content"]
+            assert e["title"] == o["title"]
+            assert e["similarity_hash"] == o["similarity_hash"]
+            assert e["content_type"] == o["content_type"]
+
+    def test_dedup_happened(self, strict_run):
+        summary, oracle, _ = strict_run
+        items = pads.dataset(summary["content_items"],
+                             format="parquet").to_table()
+        trace = pq.read_table(summary["trace_path"])
+        n_pages = sum(1 for jt in trace["job_type"].to_pylist()
+                      if jt != "sitemap")
+        assert items.num_rows < n_pages  # duplicates were merged
+        assert max(items["n_versions"].to_pylist()) >= 2
+
+
+class TestWaveConformance:
+    def test_trace_matches_bfs_oracle(self, wave_run):
+        summary, oracle, _ = wave_run
+        trace = pads.dataset(summary["trace_path"],
+                             format="parquet").to_table().to_pylist()
+        trace.sort(key=lambda r: (r["wave"], r["priority"], r["url_norm"]))
+        assert len(trace) == len(oracle.trace) > 50
+        for eng_row, ora_row in zip(trace, oracle.trace):
+            assert _trace_key(eng_row) == _trace_key(ora_row)
+
+    def test_seen_set_vs_strict(self, wave_run, strict_run):
+        """BFS (min-depth) admission can reach URLs that priority order
+        loses to depth inflation near the depth limit — the divergence is
+        one-sided: priority-seen ⊆ bfs-seen, and the extras sit at
+        max_depth (documented semantics difference between modes)."""
+        wave_summary, wave_oracle, _ = wave_run
+        _, strict_oracle, _ = strict_run
+        assert strict_oracle.seen <= wave_oracle.seen
+        extras = wave_oracle.seen - strict_oracle.seen
+        depth_of = {t["url_norm"]: t["depth"] for t in wave_oracle.trace}
+        assert all(depth_of.get(u, 99) >= 4 for u in extras)
+        trace = pads.dataset(wave_summary["trace_path"],
+                             format="parquet").to_table()
+        assert set(trace["url_norm"].to_pylist()) <= wave_oracle.seen
+
+    def test_content_items_match_oracle(self, wave_run):
+        summary, oracle, _ = wave_run
+        items = pads.dataset(summary["content_items"],
+                             format="parquet").to_table().to_pylist()
+        assert len(items) == len(oracle.content_items)
+        by_url = {r["url"]: r for r in items}
+        for o in oracle.content_items:
+            e = by_url[o["url"]]
+            assert e["content"] == o["content"]
+            assert e["similarity_hash"] == o["similarity_hash"]
+
+
+class TestResume:
+    def test_wave_resume_identical(self, small_corpus, tmp_path_factory):
+        """Run to completion; then re-run with resume=True (no-op fast
+        path); then simulate a crash by deleting the last waves and
+        resuming — final trace must be identical."""
+        work = str(tmp_path_factory.mktemp("work_resume"))
+        eng = CrawlEngine(small_corpus["dir"], work, CrawlConfig())
+        full = eng.run(mode="wave")
+        full_trace = pads.dataset(full["trace_path"],
+                                  format="parquet").to_table().to_pylist()
+        full_trace.sort(key=lambda r: (r["wave"], r["priority"],
+                                       r["url_norm"]))
+
+        out_dir = os.path.join(work, "wave")
+        waves = sorted(d for d in os.listdir(out_dir)
+                       if d.startswith("wave-"))
+        # simulate crash: drop trace + the last two waves entirely
+        shutil.rmtree(os.path.join(out_dir, "trace"))
+        for d in waves[-2:]:
+            shutil.rmtree(os.path.join(out_dir, d))
+        resumed = eng.run(mode="wave", resume=True)
+        resumed_trace = pads.dataset(
+            resumed["trace_path"],
+            format="parquet").to_table().to_pylist()
+        resumed_trace.sort(key=lambda r: (r["wave"], r["priority"],
+                                          r["url_norm"]))
+        assert ([_trace_key(r) for r in resumed_trace]
+                == [_trace_key(r) for r in full_trace])
+
+    def test_strict_resume_from_checkpoint(self, small_corpus,
+                                           tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_sresume"))
+        cfg = CrawlConfig(round_batch=32, checkpoint_every=1)
+        eng = CrawlEngine(small_corpus["dir"], work, cfg)
+        full = eng.run(mode="strict")
+        # resume after completion must be a no-op with identical trace
+        resumed = eng.run(mode="strict", resume=True)
+        t1 = pq.read_table(full["trace_path"]).to_pylist()
+        t2 = pq.read_table(resumed["trace_path"]).to_pylist()
+        assert [_trace_key(r) for r in t1] == [_trace_key(r) for r in t2]
+
+
+class TestRobotsMode:
+    def test_respect_robots_excludes_private(self, small_corpus,
+                                             tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_robots"))
+        eng = CrawlEngine(small_corpus["dir"], work,
+                          CrawlConfig(respect_robots=True))
+        summary = eng.run(mode="wave")
+        trace = pads.dataset(summary["trace_path"],
+                             format="parquet").to_table()
+        urls = trace["url_norm"].to_pylist()
+        assert not any("/private/" in u for u in urls)
+        oracle = oracle_crawl(small_corpus["dir"], ordering="bfs",
+                              respect_robots=True)
+        assert len(urls) == len(oracle.trace)
+
+
+class TestMultiHost:
+    def test_hosts_isolated_and_skewed(self, multihost_corpus,
+                                       tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_multi"))
+        eng = CrawlEngine(multihost_corpus["dir"], work,
+                          CrawlConfig(seen_shards=3))
+        summary = eng.run(mode="wave")
+        oracle = oracle_crawl(multihost_corpus["dir"], ordering="bfs")
+        trace = pads.dataset(summary["trace_path"],
+                             format="parquet").to_table().to_pylist()
+        assert len(trace) == len(oracle.trace)
+        hosts = {r["host"] for r in trace}
+        assert len(hosts) == 3
+        # politeness budgets are per-host: vts sequences independent
+        for h in hosts:
+            vts = sorted(r["fetch_vts"] for r in trace if r["host"] == h)
+            assert vts[0] == 0.0
+            assert all(b - a > 0.49 for a, b in zip(vts, vts[1:]))
