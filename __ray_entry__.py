@@ -1,44 +1,333 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data crawl/data-processing engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (wave mode) on a cached
+deterministic synthetic corpus; ``queries()`` exposes one entry per
+implemented operator family from SURVEY.md §2 plus the training-data
+operators (dedup family, ANN, text analysis, multimodal); ``oracle_sql()``
+gives the DuckDB twin for every SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Cross-engine exactness policy (see ``crawler_ray/ops/relational.py``):
+computed numerics are integerized per row with floor(x*scale) so int64
+sums hash-match bit-exactly; raw float columns pass through untouched.
+
+Ray is initialised by the caller — nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_ENTRY_CACHE = "/tmp/crawler_ray_entry"
+_ENTRY_PAGES = 250
+
+
+def _crawl_summary() -> dict:
+    """Generate the cached corpus and run the wave-mode crawl once."""
+    import json
+
+    from crawler_ray.corpus import generate_corpus
+    from crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+
+    corpus_dir = os.path.join(_ENTRY_CACHE, "corpus")
+    work_dir = os.path.join(_ENTRY_CACHE, "work")
+    summary_path = os.path.join(work_dir, "wave", "summary.json")
+    generate_corpus(corpus_dir, n_pages=_ENTRY_PAGES, n_hosts=2, seed=42)
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            return json.load(f)
+    engine = CrawlEngine(corpus_dir, work_dir, CrawlConfig())
+    return engine.run(mode="wave")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl -> extract -> classify -> dedup-upsert; returns the
+    content_items Dataset (stable schema, >0 rows)."""
+    import ray.data as rd
+
+    summary = _crawl_summary()
+    return rd.read_parquet(summary["content_items"])
+
+
+def _crawl_trace(sf_dir: str):
+    import ray.data as rd
+
+    summary = _crawl_summary()
+    return rd.read_parquet(summary["trace_path"])
+
+
+def _crawl_content_items(sf_dir: str):
+    import ray.data as rd
+
+    summary = _crawl_summary()
+    return rd.read_parquet(summary["content_items"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawler_ray.ops import dedup, multimodal, relational, similarity
+    from crawler_ray.ops import textstats, urls_jobs
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / aggregation / join / window (SURVEY §2 A1-A11,
+        # O1-O9, J1-J7, M25, §2.9)
+        "pricing_summary": relational.pricing_summary,
+        "top_parts": relational.top_parts,
+        "orders_filter": relational.orders_filter,
+        "events_by_type": relational.events_by_type,
+        "brand_revenue": relational.brand_revenue,
+        "region_customers": relational.region_customers,
+        "tumbling_window": relational.events_tumbling_window,
+        "sessionize": relational.sessionize,
+        # dedup family (D1-D3 + training-data dedup)
+        "exact_dedup": dedup.exact_dedup,
+        "similarity_dedup": dedup.similarity_dedup,
+        "minhash_pairs": dedup.minhash_lsh_pairs,
+        "minhash_dedup_keep": dedup.minhash_dedup_keep,
+        "simhash_pairs": dedup.simhash_pairs,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # similarity search
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_ivf": similarity.knn_ivf,
+        # text analysis (M15-M19 analogs + quality/fingerprint)
+        "token_counts": textstats.token_counts,
+        "lang_id": textstats.lang_id,
+        "text_quality": textstats.text_quality,
+        "fingerprints": textstats.fingerprints,
+        # crawl functions on SQL-checkable inputs (M1, O2, A5)
+        "url_normalize": urls_jobs.url_normalize,
+        "job_priorities": urls_jobs.job_priorities,
+        "url_part_stats": urls_jobs.url_part_stats,
+        # multimodal plumbing
+        "payload_meta": multimodal.payload_meta,
+        "payload_features": multimodal.payload_features,
+        # the crawl pipeline itself (verified vs serial oracle in pytest;
+        # rows-only here — inputs are the self-generated corpus, not sf_dir)
+        "crawl_trace": _crawl_trace,
+        "crawl_content_items": _crawl_content_items,
+    }
+
+
+_SYNTH_URL_SQL = """
+        SELECT doc_id, concat(
+            'https://site', doc_id % 7, '.example/',
+            list_value('category','post','tag','page','about','item',
+                       'archive')[(doc_id % 7) + 1],
+            '/', doc_id % 97, '-x',
+            CASE WHEN doc_id % 3 = 0 THEN '?ref=feed' ELSE '' END,
+            CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                       AS sum_base_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   COUNT(*) AS count_order,
+                   (CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)*1000)
+                       // COUNT(*) AS avg_qty_milli
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        """,
+        "orders_filter": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_milli
+            FROM events GROUP BY event_type
+            ORDER BY n_events DESC, event_type LIMIT 5
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "region_customers": """
+            SELECT r_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(FLOOR(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                       AS sum_acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "tumbling_window": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000
+                       AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_milli
+            FROM events GROUP BY event_type, window_start
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e
+            )
+            SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_milli,
+                   user_id
+            FROM s GROUP BY user_id, sid
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "similarity_dedup": """
+            SELECT md5(substr(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                              1, 1000)) AS sim_hash,
+                   MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[\\x{0600}-\\x{06FF}]')) AS BIGINT) AS n_arabic,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                        AS BIGINT) AS n_latin,
+                   CASE WHEN len(regexp_extract_all(text,
+                                 '[\\x{0600}-\\x{06FF}]'))
+                             > len(regexp_extract_all(text, '[A-Za-z]'))
+                        THEN 'fa' ELSE 'en' END AS lang_pred
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id, n_words, n_chars_nonws,
+                   CASE WHEN n_words > 0
+                        THEN (n_chars_nonws*1000) // n_words
+                        ELSE 0 END AS avg_word_len_milli,
+                   question_marks
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\\S+'))
+                            AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                            AS BIGINT) AS n_chars_nonws,
+                       CAST(len(regexp_extract_all(text, '[?؟]'))
+                            AS BIGINT) AS question_marks
+                FROM documents)
+        """,
+        "url_normalize": f"""
+            SELECT doc_id, url,
+                   regexp_replace(url, '[?#].*$', '') AS url_norm
+            FROM ({_SYNTH_URL_SQL})
+        """,
+        "job_priorities": f"""
+            WITH jobs AS (
+                SELECT doc_id, doc_id % 6 AS depth,
+                       list_value('page','list','detail','sitemap')
+                           [(doc_id % 4) + 1] AS job_type
+                FROM ({_SYNTH_URL_SQL})
+            )
+            SELECT doc_id, CAST(depth AS BIGINT) AS depth, job_type,
+                   CAST(TRUNC(
+                     (depth*10*1.0
+                      + CASE WHEN job_type='list' THEN -20*1.5 ELSE 0 END
+                      + CASE WHEN job_type='detail' THEN -10*1.0 ELSE 0 END
+                      + CASE WHEN job_type='sitemap' THEN -30*2.0 ELSE 0 END
+                      + (2*5)*0.8)
+                     /
+                     (1.0
+                      + CASE WHEN job_type='list' THEN 1.5 ELSE 0 END
+                      + CASE WHEN job_type='detail' THEN 1.0 ELSE 0 END
+                      + CASE WHEN job_type='sitemap' THEN 2.0 ELSE 0 END
+                      + 0.8)) AS BIGINT) AS priority
+            FROM jobs
+        """,
+        "url_part_stats": f"""
+            WITH u AS (
+                SELECT split_part(regexp_replace(url, '[?#].*$', ''),
+                                  '.example/', 2) AS path
+                FROM ({_SYNTH_URL_SQL})
+            ), parts AS (
+                SELECT CAST(0 AS BIGINT) AS position,
+                       split_part(path, '/', 1) AS value FROM u
+                UNION ALL
+                SELECT CAST(1 AS BIGINT), split_part(path, '/', 2) FROM u
+            )
+            SELECT position,
+                   CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+                   COUNT(*) AS n_urls,
+                   CASE WHEN COUNT(DISTINCT value) < 10 THEN 'fixed'
+                        WHEN (SUM(CASE WHEN substr(value,1,1)
+                                       BETWEEN '0' AND '9'
+                                  THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+                             > 0.7 THEN 'numeric'
+                        ELSE 'variable' END AS part_kind
+            FROM parts GROUP BY position
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 4
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS score
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id) AS rnk
+                FROM scored)
+            WHERE rnk <= 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   CAST(FLOOR(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) * 1000) AS BIGINT)
+                       AS cos_milli
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "payload_meta": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+                       AS n_bytes
+            FROM documents
+        """,
+        # minhash_pairs / minhash_dedup_keep / simhash_pairs /
+        # fingerprints / knn_ivf / payload_features / crawl_trace /
+        # crawl_content_items: not SQL-expressible (LSH internals,
+        # engine-specific hashes, iterative crawl) -> rows-only checks;
+        # their semantics are pytest-verified against oracles in tests/.
+    }

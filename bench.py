@@ -1,0 +1,144 @@
+"""Benchmark harness.
+
+Runs the headline crawl pipeline (wave mode over a cached ~10k-page
+synthetic corpus — the BASELINE.json workload shape) plus the operator
+suite over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <headline crawl sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+     "crawl": {...}}
+
+``--scaling`` runs the same bench twice in fresh processes at
+num_cpus=8 and 32 and reports throughput at both plus the scaling
+efficiency (the sandbox substitute for the N vs 4N node criterion —
+see SURVEY.md §4.3).
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR, GRAFT_BENCH_PAGES
+(default 10000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+def _bench_dirs(n_pages: int) -> tuple[str, str]:
+    # per-size cache dirs: switching GRAFT_BENCH_PAGES must not mix corpora
+    return (f"/tmp/crawler_ray_bench/corpus_{n_pages}",
+            f"/tmp/crawler_ray_bench/work_{n_pages}")
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "12000"))
+
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from crawler_ray.corpus import generate_corpus
+    from crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawler_ray.ops import dedup, relational, similarity, textstats
+
+    bench_corpus, bench_work = _bench_dirs(n_pages)
+    # corpus generation is cached across runs (not part of the measurement)
+    generate_corpus(bench_corpus, n_pages=n_pages, n_hosts=4, seed=42,
+                    use_ray=True)
+
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    import pyarrow.dataset as pads
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        pads.dataset(f"{sf_dir}/{t}.parquet").to_table()
+    pads.dataset(os.path.join(bench_corpus, "pages")).to_table()
+
+    timings: dict[str, float] = {}
+
+    # -- headline: the crawl pipeline --------------------------------------
+    shutil.rmtree(bench_work, ignore_errors=True)
+    cfg = CrawlConfig(seen_shards=max(2, num_cpus // 4),
+                      extract_batch_size=64)
+    t0 = time.time()
+    engine = CrawlEngine(bench_corpus, bench_work, cfg)
+    t_prep = time.time() - t0  # corpus store bucketize (one-time, resumable)
+    t0 = time.time()
+    summary = engine.run(mode="wave")
+    crawl_sec = time.time() - t0
+    visited = summary["stats"]["visited"]
+    timings["crawl_wave"] = round(crawl_sec, 3)
+    timings["corpus_bucketize"] = round(t_prep, 3)
+
+    # -- operator suite over the driver tables -----------------------------
+    suite = {
+        "pricing_summary": lambda: relational.pricing_summary(sf_dir),
+        "brand_revenue": lambda: relational.brand_revenue(sf_dir),
+        "tumbling_window": lambda: relational.events_tumbling_window(sf_dir),
+        "sessionize": lambda: relational.sessionize(sf_dir),
+        "exact_dedup": lambda: dedup.exact_dedup(sf_dir),
+        "minhash_pairs": lambda: dedup.minhash_lsh_pairs(sf_dir),
+        "simhash_pairs": lambda: dedup.simhash_pairs(sf_dir),
+        "embedding_dup_pairs": lambda: dedup.embedding_dup_pairs(sf_dir),
+        "knn_bruteforce": lambda: similarity.knn_bruteforce(sf_dir),
+        "token_counts": lambda: textstats.token_counts(sf_dir),
+        "lang_id": lambda: textstats.lang_id(sf_dir),
+        "fingerprints": lambda: textstats.fingerprints(sf_dir),
+    }
+    for name, fn in suite.items():
+        t0 = time.time()
+        result = fn()
+        # consume the lazy pipeline (small results: to_pandas is the sink)
+        n = len(result.to_pandas())
+        timings[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    total_ops = round(sum(v for k, v in timings.items()
+                          if k not in ("crawl_wave", "corpus_bucketize")), 3)
+    return {
+        "metric": "crawl_pipeline_sec",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "crawl": {"pages": n_pages, "visited": visited,
+                  "urls_per_sec": round(visited / crawl_sec, 2),
+                  "ops_suite_sec": total_ops},
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes; efficiency =
+    (rate@32 / rate@8) / 4."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True)
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    r8, r32 = results[8], results[32]
+    rate8 = r8["crawl"]["urls_per_sec"]
+    rate32 = r32["crawl"]["urls_per_sec"]
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": r8["value"], "sec_32": r32["value"],
+        "urls_per_sec_8": rate8, "urls_per_sec_32": rate32,
+        "scaling_efficiency": round((rate32 / rate8) / 4, 3),
+        "ops_suite_sec_8": r8["crawl"]["ops_suite_sec"],
+        "ops_suite_sec_32": r32["crawl"]["ops_suite_sec"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

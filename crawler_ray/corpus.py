@@ -493,6 +493,9 @@ def generate_corpus(out_dir: str, n_pages: int = 1000, n_hosts: int = 1,
 
     plans = build_site_plan(n_pages, n_hosts, seed)
     pages_path = os.path.join(out_dir, "pages")
+    # regeneration must not leave stale parts from a previous parameterset
+    import shutil
+    shutil.rmtree(pages_path, ignore_errors=True)
     os.makedirs(pages_path, exist_ok=True)
 
     if use_ray:

@@ -1,0 +1,249 @@
+"""Relational parity operators over the TPC-H-ish test tables.
+
+Each function mirrors an operator family from SURVEY.md §2 (stats
+aggregations A1-A2, top-k O5-O6, filters M25/S13, broadcast and multi-way
+joins J4/J6, windowed/streaming shapes §2.9) expressed Ray-Data-first:
+columns pruned at the read, per-batch partial aggregation before the
+shuffle where it pays, broadcast small sides instead of shuffle joins.
+
+Cross-engine exactness: every *computed* numeric output is integerized
+per row with ``floor(x * scale)`` before summing.  The per-row double
+product is IEEE-identical in numpy and DuckDB, floor is exact, and int64
+sums are order-independent — so the driver's value-hash comparison against
+the oracle SQL is bit-exact.  Raw column pass-throughs (no arithmetic)
+are safe as-is.  Column names match ``__ray_entry__.oracle_sql`` exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "pricing_summary", "top_parts", "orders_filter", "events_by_type",
+    "brand_revenue", "region_customers", "events_tumbling_window",
+    "sessionize",
+]
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _cents(x: pd.Series) -> pd.Series:
+    return np.floor(x * 100).astype("int64")
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped stats rollup (reference stats parity A1/A2:
+    per-type counters, ``core/storage.py:366-374``).  Pre-aggregates per
+    batch (combiner) so the groupby shuffles one row per (flag, status)
+    per batch instead of every lineitem row."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty_i"] = np.floor(df["l_quantity"]).astype("int64")
+        df["base_cents"] = _cents(df["l_extendedprice"])
+        df["disc_cents"] = _cents(
+            df["l_extendedprice"] * (1 - df["l_discount"]))
+        g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+             .agg(sum_qty=("qty_i", "sum"),
+                  sum_base_cents=("base_cents", "sum"),
+                  sum_disc_cents=("disc_cents", "sum"),
+                  count_order=("qty_i", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+    out = (partials.groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_cents", alias_name="sum_base_cents"),
+                      Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+                      Sum("count_order", alias_name="count_order")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg_milli = pc.divide(pc.multiply(batch["sum_qty"], 1000),
+                              batch["count_order"])
+        return batch.append_column("avg_qty_milli",
+                                   pc.cast(avg_milli, pa.int64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def top_parts(sf_dir: str, k: int = 10):
+    """Top-k by price (O5/O6 sort+limit parity).  Raw column values pass
+    through untouched, so doubles hash-match the oracle."""
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"],
+                   descending=[True, False]).limit(k)
+
+
+def orders_filter(sf_dir: str):
+    """Predicate + projection (admission-filter shape M25; CRUD filters
+    S13).  Vectorized Arrow filter inside map_batches, never row Python."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderstatus"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["o_orderstatus"], "O"),
+                       pc.greater(t["o_totalprice"], 100_000.0))
+        return t.filter(mask).drop_columns(["o_orderstatus"])
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def events_by_type(sf_dir: str, k: int = 5):
+    """groupby-count + top-k (section-frequency parity A6,
+    ``core/structure_discovery.py:530-547``)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        milli = pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                        pa.int64())
+        return t.drop_columns(["value"]).append_column("value_milli", milli)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = (ds.groupby("event_type")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value_milli", alias_name="sum_value_milli")))
+    return out.sort(["n_events", "event_type"],
+                    descending=[True, False]).limit(k)
+
+
+def brand_revenue(sf_dir: str):
+    """Broadcast join (J4 small-side pattern): the part table rides
+    ``ray.put`` once and is fetched in the actor's ``__init__``; lineitem
+    batches look it up with a pandas merge — no shuffle of the big side."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    part_ref = ray.put(part)
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    class JoinRevenue:
+        def __init__(self):
+            self.part = ray.get(part_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["revenue_cents"] = _cents(
+                df["l_extendedprice"] * (1 - df["l_discount"]))
+            merged = df.merge(self.part, left_on="l_partkey",
+                              right_on="p_partkey", how="inner")
+            g = (merged.groupby("p_brand", as_index=False)
+                 .agg(revenue_cents=("revenue_cents", "sum"),
+                      n_items=("revenue_cents", "size")))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(JoinRevenue, batch_format="pyarrow",
+                              batch_size=65536, concurrency=2)
+    return (partials.groupby("p_brand")
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                       Sum("n_items", alias_name="n_items")))
+
+
+def region_customers(sf_dir: str):
+    """Multi-way dimension join (J6 link-table shape): nation+region are
+    tiny — broadcast both, aggregate customers per region name."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[["n_nationkey", "r_name"]]
+    dim_ref = ray.put(dim)
+
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_nationkey", "c_acctbal"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["acctbal_cents"] = _cents(df["c_acctbal"])
+        merged = df.merge(ray.get(dim_ref), left_on="c_nationkey",
+                          right_on="n_nationkey")
+        g = (merged.groupby("r_name", as_index=False)
+             .agg(n_customers=("acctbal_cents", "size"),
+                  sum_acctbal_cents=("acctbal_cents", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(join, batch_format="pyarrow")
+    return (partials.groupby("r_name")
+            .aggregate(Sum("n_customers", alias_name="n_customers"),
+                       Sum("sum_acctbal_cents",
+                           alias_name="sum_acctbal_cents")))
+
+
+def events_tumbling_window(sf_dir: str, window_minutes: int = 60):
+    """Tumbling event-time window per event_type (streaming-shape parity,
+    SURVEY §2.9): window = floor(epoch/size)*size; groupby(type, window).
+    Ray Data has no watermarks — the input is a bounded event log, which
+    is exactly the reference's replay situation."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+    w_us = window_minutes * 60 * 1_000_000
+
+    def add_window(t: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(t["ts"], pa.int64())
+        win = pc.multiply(pc.divide(epoch_us, w_us), w_us)
+        milli = pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                        pa.int64())
+        return (t.drop_columns(["ts", "value"])
+                .append_column("window_start", pc.cast(win, pa.int64()))
+                .append_column("value_milli", milli))
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    return (ds.groupby(["event_type", "window_start"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value_milli", alias_name="sum_value_milli")))
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap-based, SURVEY §2.9): partition by
+    user, sort by ts within the group, close a session after a 30-min
+    silence.  ``groupby(user).map_groups`` with pandas — the documented
+    ordering assumption is ts order within each user partition."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        g["value_milli"] = np.floor(g["value"] * 1000).astype("int64")
+        session_id = (g["ts"].diff() > gap).cumsum()
+        agg = (g.groupby(session_id)
+               .agg(session_start=("ts", "min"), n_events=("ts", "size"),
+                    sum_value_milli=("value_milli", "sum")))
+        agg["user_id"] = g["user_id"].iloc[0]
+        return agg.reset_index(drop=True)
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+    def to_epoch(t: pa.Table) -> pa.Table:
+        sec = pc.cast(t["session_start"], pa.int64())
+        return (t.drop_columns(["session_start"])
+                .append_column("session_start_us", sec))
+
+    return out.map_batches(to_epoch, batch_format="pyarrow")

@@ -1,0 +1,151 @@
+"""Similarity search over the embeddings table.
+
+- ``knn_bruteforce``: exact cosine top-k — the baseline.  Query matrix is
+  broadcast once (``ray.put``); each batch does one float64 matmul and
+  emits only its local top-k per query (partial top-k combiner), so the
+  final shuffle carries k rows per (query, batch) instead of the whole
+  score matrix.
+- ``knn_ivf``: the scale path — a deterministic k-means (fixed seed,
+  driver-side on a sample) builds C centroids; every vector is assigned
+  to its nearest centroid in one vectorized pass; queries probe only the
+  top-``nprobe`` centroid buckets.  Recall vs the brute-force baseline is
+  measured in tests, not assumed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["knn_bruteforce", "knn_ivf", "ivf_build_centroids"]
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    take = np.argsort(ids)[:n_queries]
+    q = np.stack([np.asarray(t["embedding"].to_pylist()[i])
+                  for i in take]).astype(np.float64)
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    return ids[take], q
+
+
+def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 4):
+    """Exact cosine top-k for the first ``n_queries`` vec_ids.  Returns
+    (query_id, vec_id, rank) — ranks break score ties by vec_id so the
+    result is deterministic and engine-independent."""
+    import ray
+
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put((qids, qmat))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, qmat_ = ray.get(q_ref)
+        ids = np.asarray(t["vec_id"].to_pylist())
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        scores = qmat_ @ mat.T              # (n_q, n_batch)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, scores.shape[1])
+        for qi in range(scores.shape[0]):
+            # local top-k: order by (-score, vec_id)
+            idx = np.lexsort((ids, -scores[qi]))[:kk]
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(scores[qi][idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pandas")
+
+
+def ivf_build_centroids(sf_dir: str, n_centroids: int = 16,
+                        iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic mini k-means on the (small) embeddings sample —
+    mirrors the reference's pattern of running sklearn DBSCAN driver-side
+    on collected features (``core/structure_discovery.py:856-944``)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    return centroids
+
+
+def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 4,
+            n_centroids: int = 16, nprobe: int = 4):
+    """IVF-bucketed approximate top-k: assign vectors to centroid buckets
+    (one vectorized pass), scan only the ``nprobe`` closest buckets per
+    query.  Output shape identical to ``knn_bruteforce``."""
+    import ray
+
+    centroids = ivf_build_centroids(sf_dir, n_centroids)
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    ctx_ref = ray.put((qids, qmat, centroids, probe))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, qmat_, cents, probe_ = ray.get(ctx_ref)
+        ids = np.asarray(t["vec_id"].to_pylist())
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(mat @ cents.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            mask = np.isin(assign, probe_[qi])
+            if not mask.any():
+                continue
+            sub_ids, sub = ids[mask], mat[mask]
+            scores = sub @ qmat_[qi]
+            idx = np.lexsort((sub_ids, -scores))[:k]
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_v.extend(sub_ids[idx].tolist())
+            out_s.extend(scores[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pandas")

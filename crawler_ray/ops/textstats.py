@@ -1,0 +1,136 @@
+"""Text analysis operators over the documents table: token counting,
+language ID, quality scoring, document fingerprinting.
+
+SQL-checkable ops stick to primitives both Python ``re`` and DuckDB RE2
+evaluate identically on this corpus: ``\\S+`` token splits, codepoint-class
+counts (Arabic block vs ASCII letters), integer-scaled ratios.  The
+winnowing fingerprint is not SQL-expressible (rows-only check).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["token_counts", "lang_id", "text_quality", "fingerprints"]
+
+_TOKEN_RE = re.compile(r"\S+")
+_ARABIC_RE = re.compile("[؀-ۿ]")
+_LATIN_RE = re.compile("[A-Za-z]")
+_WS_RE = re.compile(r"\s")
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def token_counts(sf_dir: str):
+    """(doc_id, n_tokens) with whitespace tokenization (M16 analog for
+    generic text; the Persian tokenizer path is pytest-covered)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = [len(_TOKEN_RE.findall(s)) for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str):
+    """Heuristic script-based language ID (the engine's analog of the
+    reference's implicit fa-only assumption): counts Arabic-block vs
+    ASCII-letter codepoints; 'fa' when Arabic dominates, else 'en'.
+    Output: (doc_id, n_arabic, n_latin, lang_pred)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_ar = [len(_ARABIC_RE.findall(s)) for s in texts]
+        n_la = [len(_LATIN_RE.findall(s)) for s in texts]
+        pred = ["fa" if a > l else "en" for a, l in zip(n_ar, n_la)]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_arabic": pa.array(n_ar, pa.int64()),
+                         "n_latin": pa.array(n_la, pa.int64()),
+                         "lang_pred": pa.array(pred, pa.string())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def text_quality(sf_dir: str):
+    """Structural quality features (integer-scaled, parity shapes with the
+    reference's structural features ``ml/features.py:554-668``):
+    n_words, n_chars_nonws, avg_word_len_milli, question_marks."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_words, n_chars, avg_milli, n_q = [], [], [], []
+        for s in texts:
+            w = len(_TOKEN_RE.findall(s))
+            c = len(_WS_RE.sub("", s))
+            n_words.append(w)
+            n_chars.append(c)
+            avg_milli.append((c * 1000) // w if w else 0)
+            n_q.append(s.count("?") + s.count("؟"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_words": pa.array(n_words, pa.int64()),
+                         "n_chars_nonws": pa.array(n_chars, pa.int64()),
+                         "avg_word_len_milli": pa.array(avg_milli,
+                                                        pa.int64()),
+                         "question_marks": pa.array(n_q, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+class _Winnower:
+    """Winnowing fingerprinter (Schleimer et al. 2003): k-gram rolling
+    hashes, minimum per sliding window, distinct fingerprints per doc.
+    Stateful stage — window/k fixed per actor."""
+
+    def __init__(self, k: int = 8, window: int = 4):
+        self.k = k
+        self.window = window
+
+    def fingerprints(self, text: str) -> list[int]:
+        data = text.encode("utf-8", errors="replace")
+        if len(data) < self.k:
+            data = data + b"\0" * (self.k - len(data))
+        n = len(data) - self.k + 1
+        hashes = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            hashes[i] = int.from_bytes(
+                hashlib.blake2b(data[i:i + self.k],
+                                digest_size=8).digest(), "big")
+        if n <= self.window:
+            return [int(hashes.min())]
+        view = np.lib.stride_tricks.sliding_window_view(hashes, self.window)
+        return sorted(set(int(x) for x in view.min(axis=1)))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        fps = [self.fingerprints(s) for s in texts]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+            "min_fingerprint": pa.array(
+                [min(f) for f in fps],
+                pa.uint64()),
+        })
+
+
+def fingerprints(sf_dir: str, k: int = 8, window: int = 4):
+    """Document fingerprints for overlap detection (rows-only check; the
+    hash choice is engine-internal)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(_Winnower, batch_format="pyarrow",
+                          batch_size=512, concurrency=2,
+                          fn_constructor_kwargs={"k": k, "window": window})

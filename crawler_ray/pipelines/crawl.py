@@ -47,7 +47,7 @@ from crawler_ray.functions.patterns import (URLPatternClassifier,
 from crawler_ray.functions.priority import (PriorityPolicyManager,
                                             default_policy_manager)
 from crawler_ray.functions.urls import normalize_url
-from crawler_ray.sources.corpus_store import CorpusStore, bucket_of_url
+from crawler_ray.sources.corpus_store import CorpusStore
 from crawler_ray.sources.robots import RobotsTable, parse_sitemap
 
 __all__ = ["CrawlConfig", "CrawlEngine"]
@@ -72,7 +72,10 @@ class CrawlConfig:
     # physical knobs
     round_batch: int = 2048          # strict: K lowest jobs per round
     extract_batch_size: int = 128    # rows per extract map_batches call
-    num_buckets: int = 16            # corpus hash buckets
+    num_buckets: int = 32            # corpus host-hash buckets
+    # smaller blocks through the wave pipeline => extract parallelism even
+    # when one mega-host bucket carries most of a wave (Zipf skew)
+    target_block_size: int = 2 * 1024 * 1024
     seen_shards: int = 4             # wave mode: URL-seen actor shards
     seen_mode: str = "exact"         # 'exact' | 'bloom'
     checkpoint_every: int = 5        # strict rounds between snapshots
@@ -334,8 +337,8 @@ class CrawlEngine:
                 heapq.heappush(heap, entry)
             by_bucket: dict[int, list[_Job]] = {}
             for job in batch:
-                b = bucket_of_url(job.url, self.store.num_buckets)
-                by_bucket.setdefault(b, []).append(job)
+                by_bucket.setdefault(self.store.bucket_for_url(job.url),
+                                     []).append(job)
             refs = []
             for b, jobs in by_bucket.items():
                 meta = {
@@ -445,24 +448,45 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
     else:
         sort_cols = list(order_cols)
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, kind="mergesort")
-        # resume-safe: a url may appear in two parts; keep first occurrence
-        g = g.drop_duplicates(subset=["url_norm"], keep="first")
-        first, last = g.iloc[0], g.iloc[-1]
-        return pd.DataFrame([{
-            "url": first["url_norm"], "title": last["title"],
-            "content": last["content"], "content_type": last["content_type"],
-            "similarity_hash": first["similarity_hash"],
-            "date": last["date"], "author": last["author"],
-            "entities_json": last["entities_json"],
-            "domains_json": last["domains_json"],
-            "n_versions": len(g),
-            **{f"first_{c}": first[c] for c in sort_cols},
-        }])
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized first-wins/last-update merge for every hash in this
+        # bucket (grouping on similarity_hash directly would pay Ray's
+        # per-group cost for thousands of tiny groups)
+        g = g.sort_values(["similarity_hash"] + sort_cols,
+                          kind="mergesort")
+        g = g.drop_duplicates(subset=["similarity_hash", "url_norm"],
+                              keep="first")
+        firsts = g.drop_duplicates(subset=["similarity_hash"],
+                                   keep="first").set_index(
+                                       "similarity_hash")
+        lasts = g.drop_duplicates(subset=["similarity_hash"],
+                                  keep="last").set_index("similarity_hash")
+        counts = g.groupby("similarity_hash", sort=False).size()
+        out = pd.DataFrame({
+            "url": firsts["url_norm"],
+            "title": lasts["title"],
+            "content": lasts["content"],
+            "content_type": lasts["content_type"],
+            "date": lasts["date"],
+            "author": lasts["author"],
+            "entities_json": lasts["entities_json"],
+            "domains_json": lasts["domains_json"],
+            "n_versions": counts,
+        })
+        for c in sort_cols:
+            out[f"first_{c}"] = firsts[c]
+        return out.reset_index(names="similarity_hash")
 
-    items = ds.groupby("similarity_hash").map_groups(merge_group,
-                                                     batch_format="pandas")
+    def add_merge_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        b = [int(h[:4], 16) % 64 for h in
+             t["similarity_hash"].to_pylist()]
+        return t.append_column("merge_bucket", pa.array(b, pa.int32()))
+
+    ds = ds.map_batches(add_merge_bucket, batch_format="pyarrow")
+    items = ds.groupby("merge_bucket").map_groups(
+        lambda g: merge_bucket(g.drop(columns=["merge_bucket"])),
+        batch_format="pandas")
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     items.write_parquet(out_dir)

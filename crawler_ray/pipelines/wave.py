@@ -71,6 +71,11 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
     policies = cfg.policies
     out_dir = os.path.join(engine.work_dir, "wave")
 
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    prev_block_size = ctx.target_max_block_size
+    ctx.target_max_block_size = cfg.target_block_size
+
     from crawler_ray.state.politeness import PolitenessCore
     politeness = PolitenessCore(robots, cfg.default_delay,
                                 cfg.respect_robots)
@@ -135,57 +140,103 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         if cfg.max_pages is not None and stats["visited"] >= cfg.max_pages:
             break
 
-        # -- politeness bases: per-host counts (small aggregate) ----------
-        counts = (rd.read_parquet(frontier_path)
-                  .groupby("host").count().to_pandas())
+        # -- politeness bases: per-host counts (driver-side column scan of
+        #    the small frontier file; no Ray execution needed) ------------
+        host_col = pads.dataset(frontier_path, format="parquet").to_table(
+            columns=["host"])["host"]
+        vc = host_col.value_counts()
         bases = {}
-        for host, n in zip(counts["host"], counts["count()"]):
-            base, delay = politeness.bulk_advance(host, int(n))
+        for sv in vc:
+            host = sv["values"].as_py()
+            base, delay = politeness.bulk_advance(host,
+                                                  sv["counts"].as_py())
             bases[host] = (base, delay)
         bases_ref = ray.put(bases)
+        num_buckets = store.num_buckets
+        bucket_root = store.root
 
-        def stamp(group: pd.DataFrame) -> pd.DataFrame:
+        def add_fetch_bucket(t: pa.Table) -> pa.Table:
+            hh = t["host_hash"].to_numpy(zero_copy_only=False)
+            b = (hh % np.uint64(num_buckets)).astype(np.int32)
+            return t.append_column("fetch_bucket", pa.array(b, pa.int32()))
+
+        def stamp_fetch(group: pd.DataFrame) -> pd.DataFrame:
+            """Fused politeness stamp + simulated fetch for one
+            host-bucket: the corpus is bucketed by hash(host), so a
+            bucket holds whole hosts — per-host vts ranks computed here
+            equal the wave-global per-host ranks."""
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads_w
             b = ray.get(bases_ref)
             group = group.sort_values(["priority", "url_norm"],
                                       kind="mergesort")
-            base, delay = b[group["host"].iloc[0]]
-            group["fetch_vts"] = base + delay * np.arange(len(group))
-            return group
+            rank = group.groupby("host", sort=False).cumcount()
+            base_arr = np.array([b[h][0] for h in group["host"]])
+            delay_arr = np.array([b[h][1] for h in group["host"]])
+            group["fetch_vts"] = base_arr + delay_arr * rank.to_numpy()
 
+            bucket = int(group["fetch_bucket"].iloc[0])
+            path = os.path.join(bucket_root, f"bucket={bucket:04d}")
+            dset = pads_w.dataset(path, format="parquet")
+            urls = group["url_norm"].tolist()
+            fetched = dset.to_table(columns=["url", "html"],
+                                    filter=pc.field("url").isin(urls))
+            corpus_df = fetched.to_pandas().rename(
+                columns={"url": "url_norm"})
+            merged = group.merge(corpus_df, on="url_norm", how="left")
+            merged["status_code"] = np.where(merged["html"].notna(),
+                                             200, 404)
+            return merged.drop(columns=["fetch_bucket"])
+
+        import time as _time
+        t_wave0 = _time.time()
         extracted_dir = os.path.join(wave_dir, "extracted")
         ds = rd.read_parquet(frontier_path)
-        ds = ds.groupby("host").map_groups(stamp, batch_format="pandas")
-        ds = store.fetch_join(ds)
+        ds = ds.map_batches(add_fetch_bucket, batch_format="pyarrow")
+        ds = ds.groupby("fetch_bucket").map_groups(stamp_fetch,
+                                                   batch_format="pandas")
         ds = ds.map_batches(_ExtractFn(cfg.classify, cfg.ner_enabled, wave),
                             batch_format="pyarrow",
                             batch_size=cfg.extract_batch_size)
-        ds.write_parquet(extracted_dir)
-
-        ext = pads.dataset(extracted_dir, format="parquet")
-        n_ok = ext.count_rows(filter=(pads.field("fetch_ok") == True))  # noqa: E712
-        stats["visited"] += n_ok
-        stats["fetch_misses"] += n_frontier - n_ok
-        stats["waves"] = wave + 1
+        # the whole wave runs as ONE streaming execution: extracted rows
+        # are spilled to parquet as a side effect (atomic, deterministic
+        # part names -> task retries overwrite instead of duplicating) and
+        # only the link columns continue to the candidate stages
+        ds = ds.map_batches(_SpillExtracted(extracted_dir),
+                            batch_format="pyarrow")
 
         # -- candidates -> next frontier ----------------------------------
         next_dir = os.path.join(out_dir, f"wave-{wave + 1:04d}", "frontier")
-        cand = rd.read_parquet(
-            extracted_dir,
-            columns=["url_norm", "links", "depth", "job_type", "priority",
-                     "host", "fetch_ok", "sm_kind"])
-        cand = cand.map_batches(_explode_links, batch_format="pyarrow")
+        cand = ds.map_batches(_explode_links, batch_format="pyarrow")
         cand = cand.map_batches(
             _CandidateFn(patterns, policies, cfg.max_depth,
                          robots if cfg.respect_robots else None),
             batch_format="pyarrow")
 
-        def pick_winner(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["parent_priority", "parent_url",
-                               "link_index"], kind="mergesort")
-            return g.head(1)
+        # in-wave first-discoverer dedup: shuffle on a COARSE url-hash
+        # bucket (2 per CPU slot), then a vectorized pandas
+        # sort+drop_duplicates inside each bucket — grouping on url_norm
+        # directly would pay Ray's per-group cost for thousands of
+        # single-row groups
+        n_dedup_buckets = max(8, cfg.seen_shards * 4)
 
-        cand = cand.groupby("url_norm").map_groups(pick_winner,
-                                                   batch_format="pandas")
+        def add_dedup_bucket(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("dedup_bucket",
+                                       pa.array([], pa.int32()))
+            b = [bucket_of_url(u, n_dedup_buckets)
+                 for u in t["url_norm"].to_pylist()]
+            return t.append_column("dedup_bucket", pa.array(b, pa.int32()))
+
+        def pick_winners(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["url_norm", "parent_priority", "parent_url",
+                               "link_index"], kind="mergesort")
+            g = g.drop_duplicates(subset=["url_norm"], keep="first")
+            return g.drop(columns=["dedup_bucket"])
+
+        cand = cand.map_batches(add_dedup_bucket, batch_format="pyarrow")
+        cand = cand.groupby("dedup_bucket").map_groups(
+            pick_winners, batch_format="pandas")
 
         def seen_filter(t: pa.Table) -> pa.Table:
             p = ray.get(seen_pool_ref)
@@ -200,10 +251,17 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
             lambda t: t.select(FRONTIER_SCHEMA.names),
             batch_format="pyarrow")
         cand.write_parquet(next_dir)
+        t_wave = _time.time() - t_wave0
         # an all-empty dataset writes no files at all
         n_next = (pads.dataset(next_dir, format="parquet").count_rows()
                   if os.path.isdir(next_dir) and os.listdir(next_dir) else 0)
         stats["admitted"] += n_next
+
+        ext = pads.dataset(extracted_dir, format="parquet")
+        n_ok = ext.count_rows(filter=(pads.field("fetch_ok") == True))  # noqa: E712
+        stats["visited"] += n_ok
+        stats["fetch_misses"] += n_frontier - n_ok
+        stats["waves"] = wave + 1
 
         # -- manifest + snapshots (lineage for resume) --------------------
         snap_dir = os.path.join(wave_dir, "seen_snapshot")
@@ -211,6 +269,7 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         with open(os.path.join(wave_dir, "manifest.json"), "w") as f:
             json.dump({"wave": wave, "frontier_rows": n_frontier,
                        "visited_rows": n_ok, "next_frontier_rows": n_next,
+                       "sec_wave": round(t_wave, 3),
                        "seen_snapshot": snap_dir,
                        "politeness": politeness.state(),
                        "stats": stats}, f, indent=2)
@@ -230,6 +289,7 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
     trace_path = _write_trace(ext_glob, os.path.join(out_dir, "trace"))
     seen_total = sum(pool.counts())
     pool.shutdown()
+    ctx.target_max_block_size = prev_block_size
     summary = {"mode": "wave", "stats": {**stats, "seen": seen_total},
                "trace_path": trace_path, "extracted_dirs": ext_glob,
                "content_items": items_path}
@@ -265,6 +325,32 @@ def _seed_wave0(engine, pool: URLSeenPool, out_dir: str) -> None:
     frontier_dir = os.path.join(out_dir, "wave-0000", "frontier")
     os.makedirs(frontier_dir, exist_ok=True)
     pq.write_table(t, os.path.join(frontier_dir, "part-0.parquet"))
+
+
+class _SpillExtracted:
+    """Side-effect sink: writes each extracted batch as a parquet part
+    (atomic rename; part name is a digest of (first url, row count) so a
+    retried task overwrites its own output instead of duplicating), then
+    passes through only the columns the candidate stages need."""
+
+    PASS_COLS = ["url_norm", "links", "depth", "job_type", "priority",
+                 "host", "fetch_ok", "sm_kind"]
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+        if t.num_rows:
+            os.makedirs(self.out_dir, exist_ok=True)
+            tag = f"{t['url_norm'][0].as_py()}|{t.num_rows}"
+            name = hashlib.blake2b(tag.encode(),
+                                   digest_size=10).hexdigest()
+            tmp = os.path.join(self.out_dir, f".{name}.tmp")
+            pq.write_table(t.drop_columns(["links"]), tmp)
+            os.replace(tmp, os.path.join(self.out_dir,
+                                         f"part-{name}.parquet"))
+        return t.select(self.PASS_COLS)
 
 
 class _ExtractFn:

@@ -22,19 +22,29 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+from urllib.parse import urlparse
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-__all__ = ["CorpusStore", "bucket_of_url"]
+__all__ = ["CorpusStore", "bucket_of_url", "host_bucket_of_url"]
 
 _FETCH_COLS = ["url", "html"]
 
 
 def bucket_of_url(url: str, num_buckets: int) -> int:
     return int.from_bytes(hashlib.sha1(url.encode()).digest()[:8],
+                          "big") % num_buckets
+
+
+def host_bucket_of_url(url: str, num_buckets: int) -> int:
+    """Corpus bucket key = hash(host): a host's pages co-locate with its
+    politeness/URL-seen state (north-rule sharding), so the wave pipeline
+    can stamp politeness AND fetch in one groupby."""
+    host = urlparse(url).netloc
+    return int.from_bytes(hashlib.sha1(host.encode()).digest()[:8],
                           "big") % num_buckets
 
 
@@ -46,10 +56,16 @@ class CorpusStore:
     bucket directory is written atomically and skipped when present.
     """
 
+    LAYOUT_KEY = "host"  # bucketing key; bump when the layout changes
+
     def __init__(self, root: str):
         self.root = root
         with open(os.path.join(root, "_STORE.json")) as f:
             meta = json.load(f)
+        if meta.get("key") != self.LAYOUT_KEY:
+            raise ValueError(
+                f"corpus store at {root} uses stale layout "
+                f"{meta.get('key')!r}; delete it to rebuild")
         self.num_buckets: int = meta["num_buckets"]
         self.num_rows: int = meta.get("num_rows", -1)
 
@@ -69,7 +85,12 @@ class CorpusStore:
         join resolves them uniformly."""
         manifest = os.path.join(root, "_STORE.json")
         if os.path.exists(manifest):
-            return CorpusStore(root)
+            try:
+                return CorpusStore(root)
+            except ValueError:
+                import shutil as _sh
+                _sh.rmtree(root)
+                os.makedirs(root, exist_ok=True)
         os.makedirs(root, exist_ok=True)
         dataset = pads.dataset(pages_path, format="parquet")
         cols = columns or dataset.schema.names
@@ -97,7 +118,8 @@ class CorpusStore:
             t = pa.Table.from_batches([batch])
             urls = t["url"].to_pylist()
             bucket_ids = pa.array(
-                [bucket_of_url(u, num_buckets) for u in urls], pa.int32())
+                [host_bucket_of_url(u, num_buckets) for u in urls],
+                pa.int32())
             for b in range(num_buckets):
                 mask = pc.equal(bucket_ids, b)
                 if pc.any(mask).as_py():
@@ -116,12 +138,16 @@ class CorpusStore:
                            row_group_size=2048)
             os.rename(tmp, bdir)
         with open(manifest, "w") as f:
-            json.dump({"num_buckets": num_buckets, "num_rows": n_rows}, f)
+            json.dump({"num_buckets": num_buckets, "num_rows": n_rows,
+                       "key": CorpusStore.LAYOUT_KEY}, f)
         return CorpusStore(root)
 
     # -- lookups ------------------------------------------------------------
     def bucket_path(self, bucket: int) -> str:
         return os.path.join(self.root, f"bucket={bucket:04d}")
+
+    def bucket_for_url(self, url: str) -> int:
+        return host_bucket_of_url(url, self.num_buckets)
 
     def fetch_local(self, urls: list[str],
                     columns: list[str] = tuple(_FETCH_COLS)) -> pa.Table:
@@ -129,8 +155,7 @@ class CorpusStore:
         one row per requested URL in request order; misses get null html."""
         by_bucket: dict[int, list[str]] = {}
         for u in urls:
-            by_bucket.setdefault(bucket_of_url(u, self.num_buckets),
-                                 []).append(u)
+            by_bucket.setdefault(self.bucket_for_url(u), []).append(u)
         found: dict[str, dict] = {}
         for b, bucket_urls in by_bucket.items():
             ds = pads.dataset(self.bucket_path(b), format="parquet")
@@ -166,9 +191,16 @@ class CorpusStore:
         cols = [c for c in columns if c != "url"]
 
         def add_bucket(batch: pa.Table) -> pa.Table:
-            urls = batch["url_norm"].to_pylist()
-            b = pa.array([bucket_of_url(u, num_buckets) for u in urls],
-                         pa.int32())
+            if "host_hash" in batch.column_names:
+                import numpy as np
+                hh = batch["host_hash"].to_numpy(zero_copy_only=False)
+                b = pa.array((hh % np.uint64(num_buckets)).astype("int32"),
+                             pa.int32())
+            else:
+                urls = batch["url_norm"].to_pylist()
+                b = pa.array(
+                    [host_bucket_of_url(u, num_buckets) for u in urls],
+                    pa.int32())
             return batch.append_column("fetch_bucket", b)
 
         def fetch_group(group: pd.DataFrame) -> pd.DataFrame:
