@@ -79,12 +79,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customers": relational.region_customers,
         "tumbling_window": relational.events_tumbling_window,
         "sessionize": relational.sessionize,
+        "customers_no_orders": relational.customers_no_orders,
+        "user_top_events": relational.user_top_events,
+        "clicks_asof_views": relational.clicks_asof_views,
         # dedup family (D1-D3 + training-data dedup)
         "exact_dedup": dedup.exact_dedup,
         "similarity_dedup": dedup.similarity_dedup,
         "minhash_pairs": dedup.minhash_lsh_pairs,
         "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "simhash_pairs": dedup.simhash_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
@@ -94,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "text_quality": textstats.text_quality,
         "fingerprints": textstats.fingerprints,
+        "classify_docs": textstats.classify_docs,
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
@@ -195,6 +200,88 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value_milli,
                    user_id
             FROM s GROUP BY user_id, sid
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_totalprice > 250000.0)
+        """,
+        "user_top_events": """
+            SELECT user_id, event_id,
+                   CAST(FLOOR(value*1000) AS BIGINT) AS value_milli,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id) AS rnk
+                FROM events)
+            WHERE rnk <= 3
+        """,
+        "clicks_asof_views": """
+            WITH v AS (
+                SELECT user_id, ts, MIN(event_id) AS view_event_id
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts
+            ), c AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+                   v.view_event_id,
+                   CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us
+            FROM c ASOF JOIN v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+                    FROM toks)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS c
+                FROM grams a JOIN grams b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (c * 1000) // (sa.n + sb.n - c) AS jaccard_milli
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE (c * 1000) // (sa.n + sb.n - c) >= 500
+        """,
+        "classify_docs": """
+            WITH counts AS (
+                SELECT doc_id,
+                    CAST(len(regexp_extract_all(lower(text),
+                        '\\b(?:query|table|join|scan|filter|sort)\\b'))
+                        AS BIGINT) AS n_sql,
+                    CAST(len(regexp_extract_all(lower(text),
+                        '\\b(?:stream|window|watermark|event|batch|state)\\b'))
+                        AS BIGINT) AS n_streaming,
+                    CAST(len(regexp_extract_all(lower(text),
+                        '\\b(?:vector|model|train|embed|feature|label)\\b'))
+                        AS BIGINT) AS n_ml
+                FROM documents)
+            SELECT doc_id, n_sql, n_streaming, n_ml,
+                   CASE WHEN n_sql = 0 AND n_streaming = 0 AND n_ml = 0
+                             THEN 'other'
+                        WHEN n_sql >= n_streaming AND n_sql >= n_ml
+                             THEN 'sql'
+                        WHEN n_streaming >= n_ml THEN 'streaming'
+                        ELSE 'ml' END AS doc_class
+            FROM counts
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id,

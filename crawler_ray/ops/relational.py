@@ -24,7 +24,8 @@ import pyarrow.compute as pc
 __all__ = [
     "pricing_summary", "top_parts", "orders_filter", "events_by_type",
     "brand_revenue", "region_customers", "events_tumbling_window",
-    "sessionize",
+    "sessionize", "customers_no_orders", "user_top_events",
+    "clicks_asof_views",
 ]
 
 
@@ -247,3 +248,131 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
                 .append_column("session_start_us", sec))
 
     return out.map_batches(to_epoch, batch_format="pyarrow")
+
+
+def customers_no_orders(sf_dir: str, min_total: float = 250_000.0):
+    """Anti-join (J1/J2 shape: membership filter against a seen-set —
+    the relational twin of the URL-seen admission filter,
+    ``core/crawler.py:705,866-867``): customers with no order above
+    ``min_total``.  The distinct qualifying customer keys are collected
+    once and broadcast via ``ray.put``; each customer batch filters with
+    a vectorized ``is_in``.  At 10^10-key scale this flips to the sharded
+    seen-filter actors (``state/url_seen.py``) or a hash-partitioned
+    shuffle anti-join — the broadcast is right whenever the distinct key
+    set fits a worker heap."""
+    import ray
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    keys = (orders.map_batches(
+                lambda t: t.filter(
+                    pc.greater(t["o_totalprice"], min_total))
+                .select(["o_custkey"]),
+                batch_format="pyarrow")
+            .unique("o_custkey"))
+    key_ref = ray.put(pa.array(sorted(keys), pa.int64()))
+
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        seen = ray.get(key_ref)
+        mask = pc.invert(pc.is_in(t["c_custkey"], value_set=seen))
+        return t.filter(mask)
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def user_top_events(sf_dir: str, k: int = 3):
+    """Top-k per group (O1/O5 ordering parity as a windowed rank): the
+    k highest-value events per user, rank ties broken by event_id.
+    Per-batch partial top-k per user first, so the groupby shuffles at
+    most k rows per (user, batch) instead of the full event log."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = (df.sort_values(["user_id", "value", "event_id"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+              .groupby("user_id", sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["value", "event_id"],
+                           ascending=[False, True], kind="mergesort")
+             .head(k).reset_index(drop=True))
+        out = pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_id": g["event_id"].astype("int64"),
+            "value_milli": np.floor(g["value"] * 1000).astype("int64"),
+            "rank": np.arange(1, len(g) + 1, dtype="int64"),
+        })
+        return out
+
+    return partials.groupby("user_id").map_groups(final,
+                                                  batch_format="pandas")
+
+
+def clicks_asof_views(sf_dir: str):
+    """As-of join (custom operator the Dataset API lacks, built per
+    SURVEY §2's composition rule: groupby(user) + in-group sort +
+    merge_asof): each 'click' event joined to the most recent 'view' by
+    the same user at or before the click.  Views are deduped per (user,
+    ts) keeping the min event_id so tie-breaks are engine-independent;
+    clicks with no prior view are dropped (inner as-of).  Partitioning
+    assumption: all events of one user fit one group — per-user event
+    counts are bounded; a mega-user would need time-range sub-splits
+    carrying boundary views forward."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"],
+                        value_set=pa.array(["click", "view"]))
+        return t.filter(mask)
+
+    ds = ds.map_batches(pre, batch_format="pyarrow")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"]
+        views = g[g["event_type"] == "view"]
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "click_ts_us": pd.Series([], dtype="int64"),
+            "view_event_id": pd.Series([], dtype="int64"),
+            "view_ts_us": pd.Series([], dtype="int64")})
+        if clicks.empty or views.empty:
+            return empty
+        views = (views.sort_values(["ts", "event_id"], kind="mergesort")
+                 .drop_duplicates("ts", keep="first"))
+        clicks = clicks.sort_values(["ts", "event_id"], kind="mergesort")
+        j = pd.merge_asof(
+            clicks[["event_id", "user_id", "ts"]],
+            views[["ts", "event_id"]].rename(
+                columns={"event_id": "view_event_id"}),
+            on="ts", direction="backward", suffixes=("", "_view"))
+        # merge_asof keeps the click ts; recover the matched view ts.
+        # Map to int64 epoch-us scalars (datetime64[us] -> int64), not
+        # Timestamp objects — object Timestamps astype to nanoseconds.
+        vmap = dict(zip(views["event_id"],
+                        views["ts"].astype("int64")))
+        j = j.dropna(subset=["view_event_id"])
+        if j.empty:
+            return empty
+        return pd.DataFrame({
+            "event_id": j["event_id"].astype("int64"),
+            "user_id": j["user_id"].astype("int64"),
+            "click_ts_us": j["ts"].astype("int64"),
+            "view_event_id": j["view_event_id"].astype("int64"),
+            "view_ts_us": j["view_event_id"].map(vmap).astype("int64"),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")

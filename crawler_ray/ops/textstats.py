@@ -15,7 +15,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["token_counts", "lang_id", "text_quality", "fingerprints"]
+__all__ = ["token_counts", "lang_id", "text_quality", "fingerprints",
+           "classify_docs"]
 
 _TOKEN_RE = re.compile(r"\S+")
 _ARABIC_RE = re.compile("[؀-ۿ]")
@@ -134,3 +135,51 @@ def fingerprints(sf_dir: str, k: int = 8, window: int = 4):
     return ds.map_batches(_Winnower, batch_format="pyarrow",
                           batch_size=512, concurrency=2,
                           fn_constructor_kwargs={"k": k, "window": window})
+
+
+# Six keywords per class on purpose: the reference normalizes keyword
+# counts by dictionary size before the argmax (``ml/features.py:400-422``);
+# with equal-size dictionaries the raw-count argmax is identical, which
+# keeps the oracle SQL in exact integer arithmetic.
+DOC_CLASS_KEYWORDS: dict[str, list[str]] = {
+    "sql": ["query", "table", "join", "scan", "filter", "sort"],
+    "streaming": ["stream", "window", "watermark", "event", "batch",
+                  "state"],
+    "ml": ["vector", "model", "train", "embed", "feature", "label"],
+}
+
+_CLASS_RES = {name: re.compile(r"\b(?:" + "|".join(kws) + r")\b")
+              for name, kws in DOC_CLASS_KEYWORDS.items()}
+
+
+def classify_docs(sf_dir: str):
+    """Keyword-frequency document classification (classifier parity F6:
+    keyword scoring ``ml/features.py:400-422,514-534``, argmax with
+    dictionary-order tie-break and all-zero -> 'other',
+    ``core/classifier.py:242-249`` / ``crawler_ray/functions/classify.py``).
+    Counts use one word-bounded alternation per class so Python ``re`` and
+    DuckDB RE2 produce identical match counts.  Output: (doc_id, n_sql,
+    n_streaming, n_ml, doc_class)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        texts = [s.lower() for s in t["text"].to_pylist()]
+        counts = {name: [len(rx.findall(s)) for s in texts]
+                  for name, rx in _CLASS_RES.items()}
+        labels = []
+        for i in range(len(texts)):
+            cs = [(counts[name][i], name) for name in DOC_CLASS_KEYWORDS]
+            if all(c == 0 for c, _ in cs):
+                labels.append("other")
+            else:
+                best = max(range(len(cs)), key=lambda j: (cs[j][0], -j))
+                labels.append(cs[best][1])
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_sql": pa.array(counts["sql"], pa.int64()),
+                         "n_streaming": pa.array(counts["streaming"],
+                                                 pa.int64()),
+                         "n_ml": pa.array(counts["ml"], pa.int64()),
+                         "doc_class": pa.array(labels, pa.string())})
+
+    return ds.map_batches(classify, batch_format="pyarrow")

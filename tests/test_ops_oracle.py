@@ -1,0 +1,91 @@
+"""Operator-suite parity: every ``queries()`` entry that has an
+``oracle_sql()`` twin must match DuckDB on row count, column set, and
+order-insensitive value hash at sf0.001 — the same comparison the driver
+runs at sf0.01.  Rows-only entries are smoke-checked for non-empty,
+stable output."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# crawl_* run the full engine over a generated corpus — covered by
+# test_crawl_conformance, too slow to repeat here.
+SKIP = {"crawl_trace", "crawl_content_items"}
+
+# rows-only ops where an empty result is legitimate at this tiny sf
+MAY_BE_EMPTY = {"embedding_dup_pairs", "minhash_pairs",
+                "minhash_dedup_keep", "simhash_pairs",
+                "ngram_jaccard_pairs"}
+
+
+def _entry():
+    import __ray_entry__
+    return __ray_entry__
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()
+
+
+def _canon(df: pd.DataFrame) -> tuple:
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(repr(v))
+            elif isinstance(v, bytes):
+                vals.append(v.hex())
+            else:
+                vals.append(str(v))
+        rows.append("\x1f".join(vals))
+    rows.sort()
+    return (len(df), list(df.columns),
+            hashlib.md5("\x1e".join(rows).encode()).hexdigest())
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _query_names():
+    return [n for n in _entry().queries() if n not in SKIP]
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(name, ray_session, duck):
+    e = _entry()
+    mine = _to_pandas(e.queries()[name](SF_DIR))
+    sql = e.oracle_sql().get(name)
+    if sql is None:
+        assert set(mine.columns), f"{name}: no columns"
+        if name not in MAY_BE_EMPTY:
+            assert len(mine) > 0, f"{name}: empty rows-only result"
+        return
+    theirs = duck.sql(sql).df()
+    assert _canon(mine) == _canon(theirs), (
+        f"{name}: mismatch vs DuckDB oracle "
+        f"(mine {len(mine)} rows, oracle {len(theirs)} rows)")
