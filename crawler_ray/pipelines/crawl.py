@@ -72,6 +72,7 @@ class CrawlConfig:
     # physical knobs
     round_batch: int = 2048          # strict: K lowest jobs per round
     extract_batch_size: int = 128    # rows per extract map_batches call
+    fetch_batch_size: int = 256      # rows per fetch-join map_batches call
     num_buckets: int = 32            # corpus host-hash buckets
     # smaller blocks through the wave pipeline => extract parallelism even
     # when one mega-host bucket carries most of a wave (Zipf skew)

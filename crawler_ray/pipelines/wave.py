@@ -1,29 +1,40 @@
 """Relaxed wave mode — the scale-out BFS execution of the crawl.
 
-Each wave is one lazy Ray Dataset pipeline (streaming executor,
-backpressure, no driver materialization of page content):
+Each wave is ONE lazy Ray Dataset pipeline with NO all-to-all shuffle
+(streaming executor, backpressure, no driver materialization of page
+content):
 
-    frontier_k (parquet)
-      -> groupby(host).map_groups:  politeness vts stamps   [shuffle: host]
-      -> groupby(bucket).map_groups: fetch join             [shuffle: tiny
-                                     (corpus bucket read)    frontier rows]
-      -> map_batches: extract + classify + link extraction  [the hot stage]
-      -> write_parquet wave_k/extracted (trace is a column-pruned view)
-    candidates: read extracted -> explode links -> admission filters
-      -> groupby(url_norm): in-wave first-discoverer dedup  [shuffle]
-      -> URL-seen actor pool check_and_add (batched RPC per shard)
-      -> write_parquet frontier_{k+1}
+    frontier_k (parquet, fetch_vts pre-stamped at admission)
+      -> map_batches: fetch join           [per-batch bucket reads,
+                                            row groups pruned by url
+                                            min/max stats]
+      -> map_batches: extract + classify + link extraction  [hot stage]
+      -> write extracted parts (side-effect spill; trace is a
+         column-pruned view)
+      -> map_batches: explode links -> admission filters
+      -> map_batches: PROPOSE to the sharded admission actors
+    commit: one RPC per shard -> shards write frontier_{k+1} parts
+            (URL-seen mark + per-host politeness vts stamps)
+
+The two shuffles of the previous design (in-wave first-discoverer dedup
+and the per-host politeness groupby) are folded into the admission actor
+pool (``state/admission.py``), which is keyed ``hash(host) % S`` exactly
+like the URL-seen shards the north rule prescribes.  Min-merge proposals
+are commutative and idempotent, so batch order, parallelism, and Ray
+task retries cannot change admissions, and per-host vts ranks computed
+at commit equal the wave-global (priority, url_norm) visit order.
 
 Visit order is (wave, priority, url_norm) — deterministic and
 parallelism-invariant; it matches the serial oracle's ``ordering='bfs'``
-semantics exactly (same admission rules, same first-discoverer
-tie-break (parent_priority, parent_url, link_index), same per-host
-virtual-time politeness stamps).  The driver only ever touches per-host
-counts, manifests and row counts.
+semantics exactly (same admission rules, same first-discoverer tie-break
+(parent_priority, parent_url, link_index), same per-host virtual-time
+politeness stamps).  The driver only ever touches manifests and row
+counts.
 
-Checkpoint/resume: per-wave manifest (counts + URL-seen shard snapshots +
-politeness clocks).  ``resume=True`` restores from the last complete wave
-and continues; completed waves are skipped wholesale.
+Checkpoint/resume: per-wave manifest (counts + admission shard snapshots
+covering seen-set and politeness clocks).  ``resume=True`` restores from
+the last complete wave and continues; completed waves are skipped
+wholesale.
 """
 
 from __future__ import annotations
@@ -36,33 +47,27 @@ from urllib.parse import urlparse
 import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
 from crawler_ray.functions.urls import (host_hash64_batch,
                                         normalize_url_batch, url_sha1_batch)
-from crawler_ray.sources.corpus_store import bucket_of_url
-from crawler_ray.state.url_seen import URLSeenPool
+from crawler_ray.state.admission import AdmissionPool
 
 __all__ = ["run_wave_mode"]
 
-FRONTIER_SCHEMA = pa.schema([
+CANDIDATE_SCHEMA = pa.schema([
     ("url_norm", pa.string()), ("host", pa.string()),
     ("host_hash", pa.uint64()), ("url_digest", pa.binary()),
     ("depth", pa.int32()), ("job_type", pa.string()),
     ("priority", pa.int32()), ("parent_url", pa.string()),
+    ("link_index", pa.int32()), ("parent_priority", pa.int32()),
 ])
 
-
-def _frontier_table(rows: list[dict]) -> pa.Table:
-    return pa.Table.from_pydict(
-        {n: [r[n] for r in rows] for n in FRONTIER_SCHEMA.names},
-        schema=FRONTIER_SCHEMA)
+_SEED_PRIORITY = -(1 << 31)  # seeds sort before any real parent
 
 
 def run_wave_mode(engine, resume: bool = False) -> dict:
     import ray
     import ray.data as rd
-    import pandas as pd
 
     cfg = engine.cfg
     robots = engine.robots
@@ -76,10 +81,8 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
     prev_block_size = ctx.target_max_block_size
     ctx.target_max_block_size = cfg.target_block_size
 
-    from crawler_ray.state.politeness import PolitenessCore
-    politeness = PolitenessCore(robots, cfg.default_delay,
-                                cfg.respect_robots)
-    pool = URLSeenPool(num_shards=cfg.seen_shards, mode=cfg.seen_mode)
+    pool = AdmissionPool(num_shards=cfg.seen_shards, mode=cfg.seen_mode,
+                         robots=robots, default_delay=cfg.default_delay)
     stats = {"waves": 0, "visited": 0, "admitted": 0, "fetch_misses": 0}
 
     start_wave = 0
@@ -102,7 +105,6 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         if pick is not None:
             last, manifest = pick
             pool.restore(manifest["seen_snapshot"])
-            politeness.restore(manifest["politeness"])
             stats = manifest["stats"]
             start_wave = last + 1
             # scrub stale partial output beyond the resume point, keeping
@@ -125,7 +127,7 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         os.makedirs(out_dir, exist_ok=True)
         _seed_wave0(engine, pool, out_dir)
 
-    seen_pool_ref = ray.put(pool)  # actor handles serialize by reference
+    pool_ref = ray.put(pool)  # actor handles serialize by reference
     max_waves = cfg.max_depth + 10  # sitemap chains extend past depth
 
     for wave in range(start_wave, max_waves + 1):
@@ -140,121 +142,38 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         if cfg.max_pages is not None and stats["visited"] >= cfg.max_pages:
             break
 
-        # -- politeness bases: per-host counts (driver-side column scan of
-        #    the small frontier file; no Ray execution needed) ------------
-        host_col = pads.dataset(frontier_path, format="parquet").to_table(
-            columns=["host"])["host"]
-        vc = host_col.value_counts()
-        bases = {}
-        for sv in vc:
-            host = sv["values"].as_py()
-            base, delay = politeness.bulk_advance(host,
-                                                  sv["counts"].as_py())
-            bases[host] = (base, delay)
-        bases_ref = ray.put(bases)
-        num_buckets = store.num_buckets
-        bucket_root = store.root
-
-        def add_fetch_bucket(t: pa.Table) -> pa.Table:
-            hh = t["host_hash"].to_numpy(zero_copy_only=False)
-            b = (hh % np.uint64(num_buckets)).astype(np.int32)
-            return t.append_column("fetch_bucket", pa.array(b, pa.int32()))
-
-        def stamp_fetch(group: pd.DataFrame) -> pd.DataFrame:
-            """Fused politeness stamp + simulated fetch for one
-            host-bucket: the corpus is bucketed by hash(host), so a
-            bucket holds whole hosts — per-host vts ranks computed here
-            equal the wave-global per-host ranks."""
-            import pyarrow.compute as pc
-            import pyarrow.dataset as pads_w
-            b = ray.get(bases_ref)
-            group = group.sort_values(["priority", "url_norm"],
-                                      kind="mergesort")
-            rank = group.groupby("host", sort=False).cumcount()
-            base_arr = np.array([b[h][0] for h in group["host"]])
-            delay_arr = np.array([b[h][1] for h in group["host"]])
-            group["fetch_vts"] = base_arr + delay_arr * rank.to_numpy()
-
-            bucket = int(group["fetch_bucket"].iloc[0])
-            path = os.path.join(bucket_root, f"bucket={bucket:04d}")
-            dset = pads_w.dataset(path, format="parquet")
-            urls = group["url_norm"].tolist()
-            fetched = dset.to_table(columns=["url", "html"],
-                                    filter=pc.field("url").isin(urls))
-            corpus_df = fetched.to_pandas().rename(
-                columns={"url": "url_norm"})
-            merged = group.merge(corpus_df, on="url_norm", how="left")
-            merged["status_code"] = np.where(merged["html"].notna(),
-                                             200, 404)
-            return merged.drop(columns=["fetch_bucket"])
-
         import time as _time
         t_wave0 = _time.time()
         extracted_dir = os.path.join(wave_dir, "extracted")
+        next_dir = os.path.join(out_dir, f"wave-{wave + 1:04d}", "frontier")
+
         ds = rd.read_parquet(frontier_path)
-        ds = ds.map_batches(add_fetch_bucket, batch_format="pyarrow")
-        ds = ds.groupby("fetch_bucket").map_groups(stamp_fetch,
-                                                   batch_format="pandas")
+        ds = ds.map_batches(
+            _FetchFn(store.root, store.num_buckets),
+            batch_format="pyarrow", batch_size=cfg.fetch_batch_size)
         ds = ds.map_batches(_ExtractFn(cfg.classify, cfg.ner_enabled, wave),
                             batch_format="pyarrow",
                             batch_size=cfg.extract_batch_size)
-        # the whole wave runs as ONE streaming execution: extracted rows
-        # are spilled to parquet as a side effect (atomic, deterministic
-        # part names -> task retries overwrite instead of duplicating) and
-        # only the link columns continue to the candidate stages
+        # extracted rows spill to parquet as a side effect (atomic,
+        # deterministic part names -> task retries overwrite instead of
+        # duplicating); only the link columns continue downstream
         ds = ds.map_batches(_SpillExtracted(extracted_dir),
                             batch_format="pyarrow")
-
-        # -- candidates -> next frontier ----------------------------------
-        next_dir = os.path.join(out_dir, f"wave-{wave + 1:04d}", "frontier")
         cand = ds.map_batches(_explode_links, batch_format="pyarrow")
         cand = cand.map_batches(
             _CandidateFn(patterns, policies, cfg.max_depth,
                          robots if cfg.respect_robots else None),
             batch_format="pyarrow")
 
-        # in-wave first-discoverer dedup: shuffle on a COARSE url-hash
-        # bucket (2 per CPU slot), then a vectorized pandas
-        # sort+drop_duplicates inside each bucket — grouping on url_norm
-        # directly would pay Ray's per-group cost for thousands of
-        # single-row groups
-        n_dedup_buckets = max(8, cfg.seen_shards * 4)
+        def propose(t: pa.Table) -> pa.Table:
+            p = ray.get(pool_ref)
+            return pa.table({"proposed": pa.array([p.propose(t)],
+                                                  pa.int64())})
 
-        def add_dedup_bucket(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t.append_column("dedup_bucket",
-                                       pa.array([], pa.int32()))
-            b = [bucket_of_url(u, n_dedup_buckets)
-                 for u in t["url_norm"].to_pylist()]
-            return t.append_column("dedup_bucket", pa.array(b, pa.int32()))
-
-        def pick_winners(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["url_norm", "parent_priority", "parent_url",
-                               "link_index"], kind="mergesort")
-            g = g.drop_duplicates(subset=["url_norm"], keep="first")
-            return g.drop(columns=["dedup_bucket"])
-
-        cand = cand.map_batches(add_dedup_bucket, batch_format="pyarrow")
-        cand = cand.groupby("dedup_bucket").map_groups(
-            pick_winners, batch_format="pandas")
-
-        def seen_filter(t: pa.Table) -> pa.Table:
-            p = ray.get(seen_pool_ref)
-            if t.num_rows == 0:
-                return t
-            mask = p.check_and_add(t["url_digest"].to_pylist(),
-                                   t["host_hash"].to_pylist())
-            return t.filter(pa.array(mask))
-
-        cand = cand.map_batches(seen_filter, batch_format="pyarrow")
-        cand = cand.map_batches(
-            lambda t: t.select(FRONTIER_SCHEMA.names),
-            batch_format="pyarrow")
-        cand.write_parquet(next_dir)
+        # one streaming execution end-to-end; sum() is the sink
+        cand.map_batches(propose, batch_format="pyarrow").sum("proposed")
+        n_next = pool.commit(next_dir)
         t_wave = _time.time() - t_wave0
-        # an all-empty dataset writes no files at all
-        n_next = (pads.dataset(next_dir, format="parquet").count_rows()
-                  if os.path.isdir(next_dir) and os.listdir(next_dir) else 0)
         stats["admitted"] += n_next
 
         ext = pads.dataset(extracted_dir, format="parquet")
@@ -271,7 +190,6 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
                        "visited_rows": n_ok, "next_frontier_rows": n_next,
                        "sec_wave": round(t_wave, 3),
                        "seen_snapshot": snap_dir,
-                       "politeness": politeness.state(),
                        "stats": stats}, f, indent=2)
         if n_next == 0:
             break
@@ -298,7 +216,9 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
     return summary
 
 
-def _seed_wave0(engine, pool: URLSeenPool, out_dir: str) -> None:
+def _seed_wave0(engine, pool: AdmissionPool, out_dir: str) -> None:
+    """Seeds flow through the same propose/commit path as every other
+    admission, so wave-0 politeness stamps and dedup follow one rule."""
     cfg = engine.cfg
     rows = []
     for seed in engine.seed_urls:
@@ -307,7 +227,7 @@ def _seed_wave0(engine, pool: URLSeenPool, out_dir: str) -> None:
                         if cfg.use_sitemaps else [])
         urls = sitemap_urls or [seed]
         jt = "sitemap" if sitemap_urls else "page"
-        for u in urls:
+        for i, u in enumerate(urls):
             norm = normalize_url_batch([u])[0]
             h = urlparse(norm).netloc
             rows.append({
@@ -317,14 +237,49 @@ def _seed_wave0(engine, pool: URLSeenPool, out_dir: str) -> None:
                 "depth": 0, "job_type": jt,
                 "priority": cfg.policies.calculate_priority(norm, 0, jt),
                 "parent_url": None,
+                "link_index": i, "parent_priority": _SEED_PRIORITY,
             })
-    t = _frontier_table(rows)
-    mask = pool.check_and_add(t["url_digest"].to_pylist(),
-                              t["host_hash"].to_pylist())
-    t = t.filter(pa.array(mask))
-    frontier_dir = os.path.join(out_dir, "wave-0000", "frontier")
-    os.makedirs(frontier_dir, exist_ok=True)
-    pq.write_table(t, os.path.join(frontier_dir, "part-0.parquet"))
+    t = pa.Table.from_pydict(
+        {n: [r[n] for r in rows] for n in CANDIDATE_SCHEMA.names},
+        schema=CANDIDATE_SCHEMA)
+    pool.propose(t)
+    pool.commit(os.path.join(out_dir, "wave-0000", "frontier"))
+
+
+class _FetchFn:
+    """Simulated fetch (SURVEY §2 J7) without a shuffle: each batch
+    resolves its URLs against the host-hash-bucketed corpus store —
+    row groups pruned via url min/max statistics, so only the row groups
+    containing requested URLs are read.  Parallelism = #batches, not
+    #hosts."""
+
+    def __init__(self, root: str, num_buckets: int):
+        self.root = root
+        self.num_buckets = num_buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads_w
+
+        hh = t["host_hash"].to_numpy(zero_copy_only=False)
+        buckets = (hh % np.uint64(self.num_buckets)).astype(np.int32)
+        urls = t["url_norm"].to_pylist()
+        html_map: dict[str, bytes] = {}
+        for b in np.unique(buckets):
+            us = [u for u, bb in zip(urls, buckets) if bb == b]
+            dset = pads_w.dataset(
+                os.path.join(self.root, f"bucket={int(b):04d}"),
+                format="parquet")
+            ft = dset.to_table(columns=["url", "html"],
+                               filter=pc.field("url").isin(us))
+            html_map.update(zip(ft["url"].to_pylist(),
+                                ft["html"].to_pylist()))
+        html = pa.array([html_map.get(u) for u in urls], pa.binary())
+        status = pa.array(
+            [200 if html_map.get(u) is not None else 404 for u in urls],
+            pa.int32())
+        return (t.append_column("html", html)
+                .append_column("status_code", status))
 
 
 class _SpillExtracted:
@@ -341,6 +296,8 @@ class _SpillExtracted:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import hashlib
+
+        import pyarrow.parquet as pq
         if t.num_rows:
             os.makedirs(self.out_dir, exist_ok=True)
             tag = f"{t['url_norm'][0].as_py()}|{t.num_rows}"
@@ -395,8 +352,6 @@ def _explode_links(t: pa.Table) -> pa.Table:
             depth = depths[i] + 1 if fixed == "sitemap" else 0
             bypass = True
         else:
-            if depths[i] >= 1_000_000:  # never
-                continue
             fixed = ""
             depth = depths[i] + 1
             bypass = False
@@ -433,9 +388,7 @@ class _CandidateFn:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _frontier_table([]).append_column(
-                "link_index", pa.array([], pa.int32())).append_column(
-                "parent_priority", pa.array([], pa.int32()))
+            return CANDIDATE_SCHEMA.empty_table()
         links = t["link"].to_pylist()
         norm = normalize_url_batch(links)
         hosts = [u.split("/", 3)[2] if "//" in u else "" for u in norm]
