@@ -65,8 +65,8 @@ def _crawl_content_items(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crawler_ray.ops import dedup, multimodal, relational, similarity
-    from crawler_ray.ops import textstats, urls_jobs
+    from crawler_ray.ops import dedup, discovery, multimodal, relational
+    from crawler_ray.ops import similarity, textstats, urls_jobs
 
     return {
         # relational / aggregation / join / window (SURVEY §2 A1-A11,
@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
         "url_part_stats": urls_jobs.url_part_stats,
+        # URL-structure discovery (M24/A7/A8: featurize -> DBSCAN ->
+        # patterns; clustering internals pytest-pinned, rows-only here)
+        "url_patterns": discovery.url_pattern_table,
         # multimodal plumbing
         "payload_meta": multimodal.payload_meta,
         "payload_features": multimodal.payload_features,

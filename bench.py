@@ -27,16 +27,20 @@ import subprocess
 import sys
 import time
 
-def _bench_dirs(n_pages: int) -> tuple[str, str]:
-    # per-size cache dirs: switching GRAFT_BENCH_PAGES must not mix corpora
-    return (f"/tmp/crawler_ray_bench/corpus_{n_pages}",
-            f"/tmp/crawler_ray_bench/work_{n_pages}")
+def _bench_dirs(n_pages: int, scale: int) -> tuple[str, str]:
+    # per-(size, scale) cache dirs: switching GRAFT_BENCH_PAGES or
+    # GRAFT_PAGE_SCALE must not mix corpora
+    return (f"/tmp/crawler_ray_bench/corpus_{n_pages}_s{scale}",
+            f"/tmp/crawler_ray_bench/work_{n_pages}_s{scale}")
 
 
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "12000"))
+    # scale 8 puts post HTML at ~10-15 KB — Common-Crawl-like page sizes,
+    # so the crawl benchmark is extraction-bound the way production is
+    page_scale = int(os.environ.get("GRAFT_PAGE_SCALE", "8"))
 
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -50,10 +54,10 @@ def run_bench() -> dict:
     from crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
     from crawler_ray.ops import dedup, relational, similarity, textstats
 
-    bench_corpus, bench_work = _bench_dirs(n_pages)
+    bench_corpus, bench_work = _bench_dirs(n_pages, page_scale)
     # corpus generation is cached across runs (not part of the measurement)
     generate_corpus(bench_corpus, n_pages=n_pages, n_hosts=4, seed=42,
-                    use_ray=True)
+                    use_ray=True, page_scale=page_scale)
 
     # warm the OS page cache so we measure compute+shuffle, not cold disk
     import pyarrow.dataset as pads
@@ -109,7 +113,8 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": sf_dir,
         "num_cpus": num_cpus,
-        "crawl": {"pages": n_pages, "visited": visited,
+        "crawl": {"pages": n_pages, "page_scale": page_scale,
+                  "visited": visited,
                   "urls_per_sec": round(visited / crawl_sec, 2),
                   "ops_suite_sec": total_ops},
     }

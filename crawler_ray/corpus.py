@@ -265,8 +265,13 @@ def _render_body_article(rng: random.Random, lang: str,
     return meta_bits, f"{inline_bits}{paras}"
 
 
-def render_page(plan: dict, seed: int = 42) -> dict:
-    """Render one page plan to a pages-table row (pure, deterministic)."""
+def render_page(plan: dict, seed: int = 42, page_scale: int = 1) -> dict:
+    """Render one page plan to a pages-table row (pure, deterministic).
+
+    ``page_scale`` multiplies article length: scale 1 gives ~1-2 KB posts
+    (unit-test speed); scale 8+ approximates real Common-Crawl page sizes
+    so benchmarks are extraction-compute-bound like production.  Duplicate
+    bodies stay duplicates at any scale (same body RNG stream)."""
     url = plan["url"]
     host = plan["host"]
     base = f"https://{host}"
@@ -284,7 +289,7 @@ def render_page(plan: dict, seed: int = 42) -> dict:
                     if dup_src else _page_rng(seed, f"{base}/post-body/"
                                               f"{plan['post_id']}"))
         meta_bits, article_inner = _render_body_article(
-            body_rng, lang, body_rng.randint(3, 7))
+            body_rng, lang, body_rng.randint(3, 7) * page_scale)
         title_txt = f"Post {plan['post_id']} {_words(rng, 3, lang)}"
         related = "".join(f'<a href="{u}">related {i}</a>'
                           for i, u in enumerate(plan.get("related_urls", [])))
@@ -472,7 +477,8 @@ def _sitemap_index_xml(urls: list[str]) -> str:
 # ---------------------------------------------------------------------------
 
 def generate_corpus(out_dir: str, n_pages: int = 1000, n_hosts: int = 1,
-                    seed: int = 42, use_ray: bool = False) -> dict:
+                    seed: int = 42, use_ray: bool = False,
+                    page_scale: int = 1) -> dict:
     """Generate the corpus tables under ``out_dir``.  Returns summary info.
 
     ``use_ray=True`` renders pages via ``map_batches`` (for 10^4+ page
@@ -484,7 +490,7 @@ def generate_corpus(out_dir: str, n_pages: int = 1000, n_hosts: int = 1,
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
     params = {"n_pages": n_pages, "n_hosts": n_hosts, "seed": seed,
-              "version": 3}
+              "page_scale": page_scale, "version": 3}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             old = json.load(f)
@@ -502,7 +508,7 @@ def generate_corpus(out_dir: str, n_pages: int = 1000, n_hosts: int = 1,
         import ray.data as rd
 
         def _render_batch(batch: dict) -> pa.Table:
-            rows = [render_page(json_loads(s), seed)
+            rows = [render_page(json_loads(s), seed, page_scale=page_scale)
                     for s in batch["plan_json"]]
             return _rows_to_table(rows)
 
@@ -517,7 +523,8 @@ def generate_corpus(out_dir: str, n_pages: int = 1000, n_hosts: int = 1,
                                  batch_size=256)
         ds.write_parquet(pages_path)
     else:
-        rows = [render_page(p, seed) for p in plans]
+        rows = [render_page(p, seed, page_scale=page_scale)
+                for p in plans]
         pq.write_table(_rows_to_table(rows),
                        os.path.join(pages_path, "part-0.parquet"),
                        row_group_size=2048)

@@ -100,16 +100,53 @@ def _compile(keyword_sets: dict[str, list[str]]):
     }
 
 
+_WORD_RUN = re.compile(r"\w+")
+
+
+def _build_fast(keyword_sets: dict[str, list[str]]):
+    """Split each dictionary into the tokenize-once fast path and the
+    regex slow path.  For a single-``\\w+``-word keyword, counting
+    ``\\b kw \\b`` matches equals counting tokens equal to the keyword
+    (a match cannot cross a ``\\w``/``\\W`` boundary), so one tokenize
+    pass + dict lookups replaces ~190 per-keyword regex scans per
+    document; multi-word keywords keep their compiled patterns."""
+    single: dict[str, list[str]] = {}
+    multi: dict[str, list[re.Pattern]] = {}
+    for name, kws in keyword_sets.items():
+        for kw in kws:
+            if _WORD_RUN.fullmatch(kw):
+                single.setdefault(kw.lower(), []).append(name)
+            else:
+                multi.setdefault(name, []).append(
+                    re.compile(r"\b" + re.escape(kw) + r"\b",
+                               re.IGNORECASE))
+    return single, multi
+
+
 _DOMAIN_PATTERNS = _compile(LEGAL_DOMAINS_KEYWORDS)
 _TYPE_PATTERNS = _compile(CONTENT_TYPE_KEYWORDS)
+_DOMAIN_SINGLE, _DOMAIN_MULTI = _build_fast(LEGAL_DOMAINS_KEYWORDS)
+_TYPE_SINGLE, _TYPE_MULTI = _build_fast(CONTENT_TYPE_KEYWORDS)
 
 
-def _keyword_scores(text: str, patterns, sizes) -> dict[str, float]:
+def _keyword_scores(text: str, names, single, multi, sizes,
+                    tokens=None) -> dict[str, float]:
     """Per-set normalized frequency + row normalization
-    (``ml/features.py:400-422``)."""
+    (``ml/features.py:400-422``).  Counts are identical to per-keyword
+    ``\\b``-bounded findall (see ``_build_fast``)."""
+    counts = dict.fromkeys(names, 0)
+    if tokens is None:
+        tokens = _WORD_RUN.findall(text)
+    for tok in tokens:
+        hit = single.get(tok.lower())
+        if hit:
+            for name in hit:
+                counts[name] += 1
+    for name, pats in multi.items():
+        counts[name] += sum(len(p.findall(text)) for p in pats)
     raw = {}
-    for name, pats in patterns.items():
-        count = sum(len(p.findall(text)) for p in pats)
+    for name in names:
+        count = counts[name]
         raw[name] = (count / sizes[name]) if count > 0 else 0.0
     total = sum(raw.values())
     if total > 0:
@@ -124,29 +161,42 @@ _TYPE_SIZES = {k: len(v) for k, v in CONTENT_TYPE_KEYWORDS.items()}
 def domain_scores(text: str) -> dict[str, float]:
     if not text:
         return {k: 0.0 for k in LEGAL_DOMAINS_KEYWORDS}
-    return _keyword_scores(normalize_persian_text(text), _DOMAIN_PATTERNS,
-                           _DOMAIN_SIZES)
+    return _keyword_scores(normalize_persian_text(text),
+                           LEGAL_DOMAINS_KEYWORDS, _DOMAIN_SINGLE,
+                           _DOMAIN_MULTI, _DOMAIN_SIZES)
 
 
 def content_type_scores(text: str) -> dict[str, float]:
     if not text:
         return {k: 0.0 for k in CONTENT_TYPE_KEYWORDS}
-    return _keyword_scores(normalize_persian_text(text), _TYPE_PATTERNS,
-                           _TYPE_SIZES)
+    return _keyword_scores(normalize_persian_text(text),
+                           CONTENT_TYPE_KEYWORDS, _TYPE_SINGLE,
+                           _TYPE_MULTI, _TYPE_SIZES)
 
 
 def classify_text(text: str) -> dict:
     """Classification record in the reference's result shape
     (``core/classifier.py:416-438``: text_summary + content_type block +
-    domains block)."""
-    ct_scores = content_type_scores(text)
+    domains block).  Normalizes and tokenizes the text ONCE for both
+    score families (the hot path of the extract stage)."""
+    if text:
+        normed = normalize_persian_text(text)
+        tokens = _WORD_RUN.findall(normed)
+        ct_scores = _keyword_scores(normed, CONTENT_TYPE_KEYWORDS,
+                                    _TYPE_SINGLE, _TYPE_MULTI,
+                                    _TYPE_SIZES, tokens=tokens)
+        d_scores = _keyword_scores(normed, LEGAL_DOMAINS_KEYWORDS,
+                                   _DOMAIN_SINGLE, _DOMAIN_MULTI,
+                                   _DOMAIN_SIZES, tokens=tokens)
+    else:
+        ct_scores = {k: 0.0 for k in CONTENT_TYPE_KEYWORDS}
+        d_scores = {k: 0.0 for k in LEGAL_DOMAINS_KEYWORDS}
     best_type = "other"
     best_score = 0.0
     for name in CONTENT_TYPE_KEYWORDS:  # dict order is the tie-break
         if ct_scores[name] > best_score:
             best_type, best_score = name, ct_scores[name]
 
-    d_scores = domain_scores(text)
     ranked = sorted((d for d in d_scores.items() if d[1] > 0),
                     key=lambda kv: (-kv[1], kv[0]))
     return {

@@ -41,6 +41,27 @@ def _rd():
     return rd
 
 
+# -- vectorized engine-internal hashing -------------------------------------
+# These hashes only need to be deterministic and well-mixed (the LSH /
+# SimHash outputs are rows-only checked); crc32 (C speed) diffused through
+# splitmix64 replaces per-token blake2b, and shingle hashes come from a
+# windowed polynomial over token hashes instead of hashing shingle strings.
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    import zlib
+    h = np.fromiter((zlib.crc32(t.encode("utf-8")) for t in tokens),
+                    dtype=np.uint64, count=len(tokens))
+    return _splitmix64(h)
+
+
 # ---------------------------------------------------------------------------
 # exact + similarity-hash dedup
 # ---------------------------------------------------------------------------
@@ -96,16 +117,19 @@ def similarity_dedup(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit hashes of k-word shingles (lowercased \\w+ tokens)."""
+    """64-bit hashes of k-word shingles (lowercased \\w+ tokens):
+    windowed polynomial over per-token hashes, fully vectorized."""
     toks = _WORD_RE.findall(text.lower())
     if len(toks) < k:
         toks = toks + ["_"] * (k - len(toks))
-    out = np.empty(max(1, len(toks) - k + 1), dtype=np.uint64)
-    for i in range(len(out)):
-        sh = " ".join(toks[i:i + k])
-        out[i] = int.from_bytes(
-            hashlib.blake2b(sh.encode(), digest_size=8).digest(), "big")
-    return out
+    th = _token_hashes(toks)
+    win = np.lib.stride_tricks.sliding_window_view(th, k)
+    pows = np.empty(k, dtype=np.uint64)
+    pows[-1] = 1
+    with np.errstate(over="ignore"):
+        for i in range(k - 2, -1, -1):
+            pows[i] = pows[i + 1] * np.uint64(1099511628211)  # FNV prime
+        return _splitmix64((win * pows).sum(axis=1, dtype=np.uint64))
 
 
 class _MinHasher:
@@ -169,19 +193,28 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
                                 table).materialize()
 
     def band_explode(t: pa.Table) -> pa.Table:
-        out_band, out_hash, out_id = [], [], []
-        for doc_id, sig in zip(t["doc_id"].to_pylist(),
-                               t["sig"].to_pylist()):
-            arr = np.frombuffer(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = arr[b * rows:(b + 1) * rows].tobytes()
-                out_band.append(b)
-                out_hash.append(hashlib.blake2b(
-                    chunk, digest_size=8).hexdigest())
-                out_id.append(doc_id)
-        return pa.table({"band": pa.array(out_band, pa.int32()),
-                         "band_hash": pa.array(out_hash, pa.string()),
-                         "doc_id": pa.array(out_id, pa.int64())})
+        """(doc, band) bucket keys in one vectorized pass: polynomial of
+        each band's signature rows diffused by splitmix64."""
+        if t.num_rows == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                         for s in t["sig"].to_pylist()])
+        mat = sigs.reshape(len(sigs), bands, rows)
+        pows = np.empty(rows, dtype=np.uint64)
+        pows[-1] = 1
+        with np.errstate(over="ignore"):
+            for i in range(rows - 2, -1, -1):
+                pows[i] = pows[i + 1] * np.uint64(1099511628211)
+            keys = _splitmix64(
+                (mat * pows).sum(axis=2, dtype=np.uint64))  # (docs, bands)
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32),
+                                     len(ids)), pa.int32()),
+            "band_hash": pa.array(keys.ravel(), pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64())})
 
     # signatures are small (128*8 B/doc): broadcast for the verify step;
     # at 10^9-doc scale this becomes a signature re-join keyed by doc_id
@@ -276,19 +309,17 @@ class _SimHasher:
 
     @staticmethod
     def simhash64(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
+        toks = _WORD_RE.findall(text.lower())
+        if not toks:
+            return 0
+        h = _token_hashes(toks)
         shifts = np.arange(64, dtype=np.uint64)
-        one = np.uint64(1)
-        for tok in _WORD_RE.findall(text.lower()):
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                "big"))
-            bits = (h >> shifts) & one
-            acc += np.where(bits == one, 1, -1)
+        # (n_tokens, 64) bit matrix -> per-bit vote in one reduction
+        bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+        votes = 2 * bits.astype(np.int64).sum(axis=0) - len(toks)
         out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= (1 << i)
+        for i in np.nonzero(votes > 0)[0]:
+            out |= (1 << int(i))
         return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -310,19 +341,17 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
                          batch_size=512, concurrency=2)
 
     def band_explode(t: pa.Table) -> pa.Table:
-        ids, bands, keys, sims = [], [], [], []
-        for doc_id, s in zip(t["doc_id"].to_pylist(),
-                             t["simhash"].to_pylist()):
-            for b in range(4):
-                ids.append(doc_id)
-                bands.append(b)
-                keys.append((int(s) >> (16 * b)) & 0xFFFF)
-                sims.append(s)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "band": pa.array(bands, pa.int32()),
-                         "key": pa.array(keys, pa.int32()),
-                         "simhash": pa.array(
-                             np.array(sims, dtype=np.uint64), pa.uint64())})
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        sims = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = ((sims[:, None] >> shifts[None, :])
+                & np.uint64(0xFFFF)).astype(np.int32)  # (docs, 4)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32),
+                                     len(ids)), pa.int32()),
+            "key": pa.array(keys.ravel(), pa.int32()),
+            "simhash": pa.array(np.repeat(sims, 4), pa.uint64())})
 
     banded = sig.map_batches(band_explode, batch_format="pyarrow")
 

@@ -1,0 +1,165 @@
+"""URL-structure discovery: feature vectors -> cosine DBSCAN clusters ->
+glob patterns (SURVEY §2 M24, A7, A8, A9).
+
+Mirrors the reference's offline discovery job
+(``core/structure_discovery.py:856-944`` DBSCAN eps=0.3 min_samples=2 over
+URL feature vectors; ``:910-944`` per-URL features;
+``:978-1027`` position-wise common-pattern derivation; ``:1095-1139``
+group-by-fixed-parts).  The reference runs sklearn's DBSCAN driver-side on
+the collected (small) matrix; sklearn is not available here, so the same
+algorithm is a ~30-line exact numpy DBSCAN — identical eps/min_samples
+semantics, deterministic label order (clusters numbered by first member
+index).
+
+Scale shape: featurization is a vectorized ``map_batches`` over the URL
+table; only the fixed-width feature matrix (n_urls x max_depth+1 doubles)
+is collected to the driver — the reference does exactly this collect, and
+discovery corpora are bounded (≤ tens of thousands of URLs) by design.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urlparse
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["url_features_batch", "dbscan_cosine", "derive_pattern",
+           "discover_url_patterns", "url_pattern_table"]
+
+_MAX_SEGS = 6
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _hash1e6(s: str) -> float:
+    # stable stand-in for the reference's ``hash(part) % 1e6``
+    # (``core/structure_discovery.py:926-939``; Python's hash() is
+    # per-process salted, so use sha1 for determinism)
+    return int.from_bytes(hashlib.sha1(s.encode()).digest()[:8],
+                          "big") % 1_000_000
+
+
+def url_features_batch(urls: list[str],
+                       max_segs: int = _MAX_SEGS) -> np.ndarray:
+    """Fixed-width per-URL feature vectors (M24): [hash(domain), then per
+    path segment -1 (all digits) / -2 (hyphenated slug) / hash%1e6],
+    zero-padded to ``max_segs`` segments."""
+    out = np.zeros((len(urls), max_segs + 1), dtype=np.float64)
+    for i, url in enumerate(urls):
+        p = urlparse(url)
+        out[i, 0] = _hash1e6(p.netloc)
+        segs = [s for s in p.path.split("/") if s][:max_segs]
+        for j, seg in enumerate(segs):
+            if seg.isdigit():
+                out[i, j + 1] = -1.0
+            elif "-" in seg:
+                out[i, j + 1] = -2.0
+            else:
+                out[i, j + 1] = _hash1e6(seg)
+    return out
+
+
+def dbscan_cosine(mat: np.ndarray, eps: float = 0.3,
+                  min_samples: int = 2) -> np.ndarray:
+    """Exact DBSCAN with cosine distance (1 - cos) — the reference's
+    configuration (``core/structure_discovery.py:884-887``).  O(n^2)
+    distance matrix; labels -1 for noise, clusters numbered in order of
+    first core point encountered (deterministic)."""
+    n = len(mat)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    unit = mat / np.maximum(norms, 1e-12)
+    dist = 1.0 - unit @ unit.T
+    neighbors = dist <= eps  # includes self
+    n_neighbors = neighbors.sum(axis=1)
+    core = n_neighbors >= min_samples
+    labels = np.full(n, -1, dtype=np.int64)
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        # BFS expand from core point i
+        labels[i] = cluster
+        frontier = [i]
+        while frontier:
+            j = frontier.pop()
+            if not core[j]:
+                continue
+            for k in np.nonzero(neighbors[j])[0]:
+                if labels[k] == -1:
+                    labels[k] = cluster
+                    if core[k]:
+                        frontier.append(int(k))
+        cluster += 1
+    return labels
+
+
+def derive_pattern(urls: list[str]) -> str:
+    """Position-wise common glob pattern for one cluster (A8,
+    ``core/structure_discovery.py:978-1027``): per path position, keep the
+    literal if all members agree, else '*'; pattern length = max member
+    depth."""
+    split = [[s for s in urlparse(u).path.split("/") if s] for u in urls]
+    depth = max((len(s) for s in split), default=0)
+    parts = []
+    for pos in range(depth):
+        vals = {s[pos] if pos < len(s) else "" for s in split}
+        parts.append(vals.pop() if len(vals) == 1 else "*")
+    host = urlparse(urls[0]).netloc
+    return f"{urlparse(urls[0]).scheme}://{host}/" + "/".join(parts)
+
+
+def discover_url_patterns(urls: list[str], eps: float = 0.3,
+                          min_samples: int = 2,
+                          max_sample_urls: int = 5) -> list[dict]:
+    """Full discovery over a URL list: featurize -> DBSCAN -> one pattern
+    per cluster, plus a group-by-fixed-parts refinement key (A9).  Noise
+    URLs get no pattern (the reference falls back to heuristics for them,
+    ``core/structure_discovery.py:893-906``)."""
+    if not urls:
+        return []
+    mat = url_features_batch(urls)
+    labels = dbscan_cosine(mat, eps=eps, min_samples=min_samples)
+    out = []
+    for c in range(labels.max() + 1 if labels.size else 0):
+        members = [urls[i] for i in np.nonzero(labels == c)[0]]
+        pattern = derive_pattern(members)
+        out.append({
+            "cluster": int(c),
+            "pattern": pattern,
+            "url_count": len(members),
+            "sample_urls": sorted(members)[:max_sample_urls],
+            "is_list": "*" not in pattern.rsplit("/", 1)[-1],
+            "n_wildcards": pattern.count("*"),
+        })
+    return out
+
+
+def url_pattern_table(sf_dir: str):
+    """queries() entry: synthesize the deterministic URL set from the
+    documents table (same construction as ``ops/urls_jobs``), featurize
+    distributed, cluster driver-side, return one row per discovered
+    pattern (rows-only check; clustering is engine-internal but
+    deterministic — pytest pins behavior on planted structures)."""
+    from crawler_ray.ops.urls_jobs import synth_url_batch
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def make_urls(t: pa.Table) -> pa.Table:
+        urls = synth_url_batch(t["doc_id"].to_pylist())
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    urls = ds.map_batches(make_urls, batch_format="pyarrow").to_pandas()
+    pats = discover_url_patterns(sorted(set(urls["url"])))
+    return pa.table({
+        "cluster": pa.array([p["cluster"] for p in pats], pa.int64()),
+        "pattern": pa.array([p["pattern"] for p in pats], pa.string()),
+        "url_count": pa.array([p["url_count"] for p in pats], pa.int64()),
+        "n_wildcards": pa.array([p["n_wildcards"] for p in pats],
+                                pa.int64()),
+    })

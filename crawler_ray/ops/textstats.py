@@ -104,13 +104,19 @@ class _Winnower:
         data = text.encode("utf-8", errors="replace")
         if len(data) < self.k:
             data = data + b"\0" * (self.k - len(data))
-        n = len(data) - self.k + 1
-        hashes = np.empty(n, dtype=np.uint64)
-        for i in range(n):
-            hashes[i] = int.from_bytes(
-                hashlib.blake2b(data[i:i + self.k],
-                                digest_size=8).digest(), "big")
-        if n <= self.window:
+        # vectorized k-gram hashing: windowed polynomial over bytes
+        # diffused by splitmix64 (the hash is engine-internal; only
+        # determinism and mixing matter)
+        from crawler_ray.ops.dedup import _splitmix64
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(arr, self.k)
+        pows = np.empty(self.k, dtype=np.uint64)
+        pows[-1] = 1
+        with np.errstate(over="ignore"):
+            for i in range(self.k - 2, -1, -1):
+                pows[i] = pows[i + 1] * np.uint64(1099511628211)
+            hashes = _splitmix64((win * pows).sum(axis=1, dtype=np.uint64))
+        if len(hashes) <= self.window:
             return [int(hashes.min())]
         view = np.lib.stride_tricks.sliding_window_view(hashes, self.window)
         return sorted(set(int(x) for x in view.min(axis=1)))

@@ -72,7 +72,13 @@ class CrawlConfig:
     # physical knobs
     round_batch: int = 2048          # strict: K lowest jobs per round
     extract_batch_size: int = 128    # rows per extract map_batches call
-    fetch_batch_size: int = 256      # rows per fetch-join map_batches call
+    # rows per fetch-join map_batches call.  The fetch->extract->candidate
+    # chain FUSES into one Ray operator, so this batch size sets the fused
+    # task granularity (tasks/wave = frontier_rows / fetch_batch_size) —
+    # keep it small enough that every CPU gets tasks each wave; commit
+    # writes frontier rows host-clustered, so small batches still touch
+    # ~one corpus bucket each
+    fetch_batch_size: int = 64
     num_buckets: int = 32            # corpus host-hash buckets
     # smaller blocks through the wave pipeline => extract parallelism even
     # when one mega-host bucket carries most of a wave (Zipf skew)
@@ -129,10 +135,12 @@ def _process_bucket(bucket_path: str, meta: dict, out_dir: str,
 
     from crawler_ray.stages.transforms import extract_classify_batch
 
+    from crawler_ray.sources.corpus_store import _pruning_url_filter
+
     urls = meta["url_norm"]
     ds = pads.dataset(bucket_path, format="parquet")
     fetched = ds.to_table(columns=["url", "html"],
-                          filter=pc.field("url").isin(urls))
+                          filter=_pruning_url_filter(urls))
     html_map = dict(zip(fetched["url"].to_pylist(),
                         fetched["html"].to_pylist()))
 

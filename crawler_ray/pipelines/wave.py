@@ -170,8 +170,12 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
             return pa.table({"proposed": pa.array([p.propose(t)],
                                                   pa.int64())})
 
-        # one streaming execution end-to-end; sum() is the sink
-        cand.map_batches(propose, batch_format="pyarrow").sum("proposed")
+        # one streaming execution end-to-end; the materialized sink is one
+        # tiny count row per batch (page content never reaches the driver)
+        final = cand.map_batches(propose,
+                                 batch_format="pyarrow").materialize()
+        if os.environ.get("GRAFT_WAVE_STATS"):
+            print(f"--- wave {wave} stats ---\n{final.stats()}")
         n_next = pool.commit(next_dir)
         t_wave = _time.time() - t_wave0
         stats["admitted"] += n_next
@@ -261,6 +265,15 @@ class _FetchFn:
         import pyarrow.compute as pc
         import pyarrow.dataset as pads_w
 
+        # pyarrow's default per-process pools are sized to the MACHINE
+        # (32 threads each); with ~cpu_count concurrent map tasks that is
+        # ~1000 threads fighting over 32 cores and a 5-20x slowdown of
+        # everything in flight.  One compute + one IO thread per task is
+        # right when Ray already provides the process parallelism.
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+
         hh = t["host_hash"].to_numpy(zero_copy_only=False)
         buckets = (hh % np.uint64(self.num_buckets)).astype(np.int32)
         urls = t["url_norm"].to_pylist()
@@ -270,8 +283,14 @@ class _FetchFn:
             dset = pads_w.dataset(
                 os.path.join(self.root, f"bucket={int(b):04d}"),
                 format="parquet")
-            ft = dset.to_table(columns=["url", "html"],
-                               filter=pc.field("url").isin(us))
+            # arrow does NOT prune row groups on a bare isin filter (it
+            # scans the whole bucket); the [min, max] range conjunct DOES
+            # prune via row-group statistics, and the frontier is written
+            # (host, url)-sorted so a batch's urls form a tight range
+            filt = ((pc.field("url") >= min(us))
+                    & (pc.field("url") <= max(us))
+                    & pc.field("url").isin(us))
+            ft = dset.to_table(columns=["url", "html"], filter=filt)
             html_map.update(zip(ft["url"].to_pylist(),
                                 ft["html"].to_pylist()))
         html = pa.array([html_map.get(u) for u in urls], pa.binary())

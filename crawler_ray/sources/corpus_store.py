@@ -39,6 +39,16 @@ def bucket_of_url(url: str, num_buckets: int) -> int:
                           "big") % num_buckets
 
 
+def _pruning_url_filter(urls: list[str]):
+    """Point-lookup filter that actually prunes parquet row groups: arrow
+    does not use row-group statistics for a bare ``isin``, but it does for
+    range comparisons — so wrap the isin in the urls' [min, max] range
+    (buckets are url-sorted, callers pass sorted runs when they can)."""
+    return ((pc.field("url") >= min(urls))
+            & (pc.field("url") <= max(urls))
+            & pc.field("url").isin(urls))
+
+
 def host_bucket_of_url(url: str, num_buckets: int) -> int:
     """Corpus bucket key = hash(host): a host's pages co-locate with its
     politeness/URL-seen state (north-rule sharding), so the wave pipeline
@@ -134,8 +144,11 @@ class CorpusStore:
                 table = table.sort_by("url")
             else:
                 table = dataset.head(0)
+            # small row groups: the fetch join reads with url-isin
+            # filters, and row-group min/max pruning is the unit of
+            # decompression — 256 rows ≈ a few MB even at CC page sizes
             pq.write_table(table, os.path.join(tmp, "part-0.parquet"),
-                           row_group_size=2048)
+                           row_group_size=256)
             os.rename(tmp, bdir)
         with open(manifest, "w") as f:
             json.dump({"num_buckets": num_buckets, "num_rows": n_rows,
@@ -160,7 +173,7 @@ class CorpusStore:
         for b, bucket_urls in by_bucket.items():
             ds = pads.dataset(self.bucket_path(b), format="parquet")
             t = ds.to_table(columns=list(columns),
-                            filter=pc.field("url").isin(bucket_urls))
+                            filter=_pruning_url_filter(bucket_urls))
             for row in t.to_pylist():
                 found[row["url"]] = row
         out = {c: [] for c in columns}
@@ -209,7 +222,7 @@ class CorpusStore:
             ds = pads.dataset(path, format="parquet")
             urls = group["url_norm"].tolist()
             t = ds.to_table(columns=["url"] + cols,
-                            filter=pc.field("url").isin(urls))
+                            filter=_pruning_url_filter(urls))
             corpus_df = t.to_pandas().rename(columns={"url": "url_norm"})
             merged = group.merge(corpus_df, on="url_norm", how="left")
             merged["status_code"] = [

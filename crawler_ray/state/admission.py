@@ -138,6 +138,10 @@ class AdmissionShardCore:
             stamped.extend(r + (base + i * d,)
                            for i, r in enumerate(hrows))
         if out_dir is not None:
+            # physical row order is free (vts is already a column): sort
+            # by (host, url) so fetch batches hit contiguous runs of the
+            # url-sorted corpus buckets — minimal row-group decompression
+            stamped.sort(key=lambda r: (r[1], r[0]))
             names = [n for n, _ in FRONTIER_FIELDS]
             table = pa.Table.from_pydict(
                 {n: [r[i] for r in stamped]
