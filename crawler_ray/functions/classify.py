@@ -111,15 +111,21 @@ def _build_fast(keyword_sets: dict[str, list[str]]):
     pass + dict lookups replaces ~190 per-keyword regex scans per
     document; multi-word keywords keep their compiled patterns."""
     single: dict[str, list[str]] = {}
-    multi: dict[str, list[re.Pattern]] = {}
+    multi: dict[str, list[tuple[str | None, re.Pattern]]] = {}
     for name, kws in keyword_sets.items():
         for kw in kws:
             if _WORD_RUN.fullmatch(kw):
                 single.setdefault(kw.lower(), []).append(name)
             else:
-                multi.setdefault(name, []).append(
+                # prefilter key: a \b-bounded phrase can only match if its
+                # leading word occurs as a whole token, so the pattern is
+                # skipped (count 0, exactly) when that token is absent
+                m = _WORD_RUN.match(kw)
+                first = m.group(0).lower() if m else None
+                multi.setdefault(name, []).append((
+                    first,
                     re.compile(r"\b" + re.escape(kw) + r"\b",
-                               re.IGNORECASE))
+                               re.IGNORECASE)))
     return single, multi
 
 
@@ -137,13 +143,18 @@ def _keyword_scores(text: str, names, single, multi, sizes,
     counts = dict.fromkeys(names, 0)
     if tokens is None:
         tokens = _WORD_RUN.findall(text)
+    token_set = set()
     for tok in tokens:
-        hit = single.get(tok.lower())
+        low = tok.lower()
+        token_set.add(low)
+        hit = single.get(low)
         if hit:
             for name in hit:
                 counts[name] += 1
     for name, pats in multi.items():
-        counts[name] += sum(len(p.findall(text)) for p in pats)
+        counts[name] += sum(
+            len(p.findall(text)) for first, p in pats
+            if first is None or first in token_set)
     raw = {}
     for name in names:
         count = counts[name]

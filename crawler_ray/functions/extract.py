@@ -390,19 +390,26 @@ def extract_entities(text: str, enabled: bool = False) -> dict[str, list[str]]:
 
 def extract_page(html: str | bytes | None, url: str,
                  job_type: str | None = None,
-                 ner_enabled: bool = False) -> dict:
+                 ner_enabled: bool = False,
+                 root: Element | None = None) -> dict:
     """Full structured extraction (``core/content_extractor.py:142-239``).
 
     Returns the reference's extracted-record shape: url/title/content/date/
     author/entities (+ ``list_items`` for list pages, ``related_links`` for
     detail pages; empty-field error shape for empty HTML).
+
+    ``root``: optionally a pre-parsed tree for this html (parse-once
+    optimization — callers that also run ``extract_links`` share one
+    parse).  The tree is MUTATED (boilerplate decompose), so run raw-tree
+    consumers first.
     """
     if not html:
         return {"url": url, "title": "", "content": "", "date": "",
                 "author": "", "entities": {}, "job_type": job_type,
                 "list_items": [], "related_links": [],
                 "error": "empty html"}
-    root = parse_html(html)
+    if root is None:
+        root = parse_html(html)
     clean_soup(root)
     title = extract_title(root)
     content = extract_main_content(root, job_type)

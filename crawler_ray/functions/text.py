@@ -54,6 +54,15 @@ _STOP_WORD_SET = frozenset(PERSIAN_STOP_WORDS)
 _PUNCT_TRANSLATION = str.maketrans("", "", string.punctuation + "،؛؟»«!")
 
 
+# Dropping combining marks via str.translate (C loop) instead of a
+# per-character Python genexpr: one table of every combining codepoint,
+# built once at import (identical result to `not unicodedata.combining(c)`
+# filtering).
+_COMBINING_TRANSLATION = {
+    cp: None for cp in range(0x110000) if unicodedata.combining(chr(cp))
+}
+
+
 def normalize_persian_text(text: str | None) -> str:
     """Char unification + whitespace collapse + NFKD combining-mark strip.
 
@@ -64,10 +73,8 @@ def normalize_persian_text(text: str | None) -> str:
         return ""
     text = text.translate(_CHAR_TRANSLATION)
     text = _WS_RE.sub(" ", text).strip()
-    return "".join(
-        c for c in unicodedata.normalize("NFKD", text)
-        if not unicodedata.combining(c)
-    )
+    return unicodedata.normalize("NFKD", text).translate(
+        _COMBINING_TRANSLATION)
 
 
 def tokenize_persian_text(text: str | None, remove_stop_words: bool = True,

@@ -174,9 +174,11 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         # tiny count row per batch (page content never reaches the driver)
         final = cand.map_batches(propose,
                                  batch_format="pyarrow").materialize()
+        t_pipe = _time.time() - t_wave0
         if os.environ.get("GRAFT_WAVE_STATS"):
             print(f"--- wave {wave} stats ---\n{final.stats()}")
         n_next = pool.commit(next_dir)
+        t_commit = _time.time() - t_wave0 - t_pipe
         t_wave = _time.time() - t_wave0
         stats["admitted"] += n_next
 
@@ -193,6 +195,8 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
             json.dump({"wave": wave, "frontier_rows": n_frontier,
                        "visited_rows": n_ok, "next_frontier_rows": n_next,
                        "sec_wave": round(t_wave, 3),
+                       "sec_pipeline": round(t_pipe, 3),
+                       "sec_commit": round(t_commit, 3),
                        "seen_snapshot": snap_dir,
                        "stats": stats}, f, indent=2)
         if n_next == 0:

@@ -161,8 +161,20 @@ def extract_classify_batch(batch: pa.Table, ner_enabled: bool = False,
             continue
         if html is None:
             rec = None
+            raw_links = []
         else:
-            rec = extract_page(html, url, jt, ner_enabled=ner_enabled)
+            # parse ONCE per page: the reference parses twice (raw link
+            # soup vs cleaned extraction soup, ``core/crawler.py:856`` vs
+            # ``core/content_extractor.py:176``), but link extraction only
+            # READS the raw tree, so running it before the mutating
+            # extraction on a shared tree is byte-identical and saves a
+            # full HTML parse per page
+            from crawler_ray.htmlmini import parse_html
+            root = parse_html(html)
+            raw_links = (extract_links(root, url, internal_only=True)
+                         if with_links else [])
+            rec = extract_page(html, url, jt, ner_enabled=ner_enabled,
+                               root=root)
         cols["sm_kind"].append("")
         if rec is None:
             for name in ("title", "content", "date", "author"):
@@ -191,9 +203,7 @@ def extract_classify_batch(batch: pa.Table, ner_enabled: bool = False,
         else:
             cols["content_type"].append("other")
             cols["domains"].append([])
-        cols["links"].append(
-            extract_links(html, url, internal_only=True) if with_links
-            else [])
+        cols["links"].append(raw_links)
         cols["n_list_items"].append(len(rec["list_items"]))
         cols["n_related_links"].append(len(rec["related_links"]))
         cols["fetch_ok"].append(True)
