@@ -397,7 +397,10 @@ def _robots_and_sitemaps(plans: list[dict], seed: int):
         rng = random.Random(f"{seed}:robots:{host}")
         post_urls = [p["url"] for p in host_plans if p["kind"] == "post"]
         orphan_urls = [p["url"] for p in host_plans if p["kind"] == "orphan"]
-        in_sitemap = post_urls[:: max(1, len(post_urls) // 50)] + orphan_urls
+        # real sites advertise most of their content in sitemaps; listing
+        # every 2nd post keeps some pages discoverable only by link-walk
+        # while making sitemap seeding carry real volume (fat early waves)
+        in_sitemap = post_urls[::2] + orphan_urls
 
         kind = ["xml", "index", "text"][hash_mod(host, 3)]
         sm_url = f"{base}/sitemap.xml"
@@ -490,7 +493,7 @@ def generate_corpus(out_dir: str, n_pages: int = 1000, n_hosts: int = 1,
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
     params = {"n_pages": n_pages, "n_hosts": n_hosts, "seed": seed,
-              "page_scale": page_scale, "version": 3}
+              "page_scale": page_scale, "version": 4}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             old = json.load(f)

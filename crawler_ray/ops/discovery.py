@@ -26,7 +26,9 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["url_features_batch", "dbscan_cosine", "derive_pattern",
-           "discover_url_patterns", "url_pattern_table"]
+           "discover_url_patterns", "url_pattern_table",
+           "save_patterns", "load_patterns", "discover_selectors",
+           "match_selectors"]
 
 _MAX_SEGS = 6
 
@@ -163,3 +165,138 @@ def url_pattern_table(sf_dir: str):
         "n_wildcards": pa.array([p["n_wildcards"] for p in pats],
                                 pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# pattern persistence (S9/S10) — JSON artifact is the single source of truth
+# ---------------------------------------------------------------------------
+
+def save_patterns(patterns: list[dict], path: str) -> str:
+    """Persist discovered URL patterns (S9,
+    ``core/structure_discovery.py:1185-1241``; the reference's DB variant
+    S10 stores the same JSON in a column — one artifact here)."""
+    import json
+    import os
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump({"version": 1, "patterns": patterns}, f,
+                  ensure_ascii=False, indent=2)
+    os.replace(tmp, path)
+    return path
+
+
+def load_patterns(path: str) -> list[dict]:
+    import json
+    with open(path) as f:
+        return json.load(f)["patterns"]
+
+
+# ---------------------------------------------------------------------------
+# HTML selector discovery (M22) + URL -> selector similarity join (J5)
+# ---------------------------------------------------------------------------
+
+_LISTY_CLASS = ("list", "posts", "items", "archive", "results")
+_SUMMARY_CLASS = ("summary", "excerpt", "desc")
+
+
+def _class_selector(el) -> str:
+    cls = el.classes
+    return f"{el.tag}.{cls[0]}" if cls else el.tag
+
+
+def discover_selectors(html, page_type: str) -> dict[str, str | None]:
+    """Derive a CSS selector map from one example page (M22,
+    ``core/structure_discovery.py:279-492`` semantics): list pages get
+    {container, item, title, link, summary, pagination}; detail pages get
+    {container, title, content, date, author}.  Selectors are
+    ``tag.first-class`` strings (the reference keeps CSS selectors too;
+    its naive XPath conversion M23 is deliberately dropped)."""
+    from crawler_ray.htmlmini import parse_html
+    root = html if hasattr(html, "find_all") else parse_html(html)
+
+    def sel(el):
+        return _class_selector(el) if el is not None else None
+
+    if page_type == "list":
+        container = None
+        for el in root.find_all("div"):
+            if any(c for c in el.classes
+                   if any(k in c.lower() for k in _LISTY_CLASS)):
+                container = el
+                break
+        scope = container or root
+        item = next(iter(scope.find_all("div")), None)
+        first_item = item or scope
+        title = (first_item.find("h3") or first_item.find("h2")
+                 or first_item.find("a"))
+        link = first_item.find("a", href=True)
+        summary = None
+        for el in first_item.find_all(["p", "div"]):
+            if any(k in c.lower() for c in el.classes
+                   for k in _SUMMARY_CLASS):
+                summary = el
+                break
+        pagination = None
+        for el in root.find_all("div"):
+            if any("pagination" in c.lower() or "pager" in c.lower()
+                   for c in el.classes):
+                pagination = el
+                break
+        return {"container": sel(container), "item": sel(item),
+                "title": sel(title), "link": sel(link),
+                "summary": sel(summary), "pagination": sel(pagination)}
+
+    # detail / generic
+    container = (root.find("article") or root.find("main")
+                 or root.find("div"))
+    title = root.find("h1") or root.find("h2")
+    content = root.find("article") or container
+    date = None
+    for el in root.find_all(["time", "span", "p"]):
+        if el.tag == "time" or any(
+                k in c.lower() for c in el.classes
+                for k in ("date", "time", "pubdate", "published")):
+            date = el
+            break
+    author = None
+    for el in root.find_all(["span", "p", "div"]):
+        if any(k in c.lower() for c in el.classes
+               for k in ("author", "writer", "byline")):
+            author = el
+            break
+    return {"container": sel(container), "title": sel(title),
+            "content": sel(content), "date": sel(date),
+            "author": sel(author)}
+
+
+def _path_segments(url: str) -> list[str]:
+    from urllib.parse import urlparse
+    return [s for s in urlparse(url).path.split("/") if s]
+
+
+def match_selectors(url: str, stored: dict[str, dict],
+                    threshold: float = 0.7):
+    """J5: similarity join of a URL against stored per-URL selector maps
+    (``core/structure_discovery.py:1638-1709``): best path-segment overlap
+    ratio > threshold wins; ties broken by stored-key order then
+    lexicographic key.  Overlap = |position-wise equal or both-numeric
+    segments| / max(len).  Small side broadcast — callers pass ``stored``
+    as a plain dict into map fns."""
+    segs = _path_segments(url)
+    best = None
+    best_score = threshold
+    for key in sorted(stored):
+        ksegs = _path_segments(key)
+        if not segs and not ksegs:
+            score = 1.0
+        else:
+            n = max(len(segs), len(ksegs))
+            eq = sum(
+                1 for a, b in zip(segs, ksegs)
+                if a == b or (a.isdigit() and b.isdigit()))
+            score = eq / n
+        if score > best_score:
+            best = key
+            best_score = score
+    return (best, stored.get(best)) if best is not None else (None, None)

@@ -71,14 +71,13 @@ class CrawlConfig:
     ner_enabled: bool = False
     # physical knobs
     round_batch: int = 2048          # strict: K lowest jobs per round
-    extract_batch_size: int = 128    # rows per extract map_batches call
+    extract_batch_size: int = 256    # rows per extract map_batches call
     # rows per fetch-join map_batches call.  The fetch->extract->candidate
     # chain FUSES into one Ray operator, so this batch size sets the fused
-    # task granularity (tasks/wave = frontier_rows / fetch_batch_size) —
-    # keep it small enough that every CPU gets tasks each wave; commit
-    # writes frontier rows host-clustered, so small batches still touch
-    # ~one corpus bucket each
-    fetch_batch_size: int = 64
+    # task granularity (tasks/wave = frontier_rows / fetch_batch_size) AND
+    # the spilled part size; 256 keeps every CPU busy on sitemap-fat waves
+    # while producing ~MB-scale parts instead of thousands of tiny files
+    fetch_batch_size: int = 256
     num_buckets: int = 32            # corpus host-hash buckets
     # smaller blocks through the wave pipeline => extract parallelism even
     # when one mega-host bucket carries most of a wave (Zipf skew)
@@ -405,9 +404,40 @@ class CrawlEngine:
         os.replace(tmp, path)
 
 
+class _TraceSpill:
+    """Side-effect stage inside the finalize execution: writes the
+    column-pruned crawl-trace part for each batch (all fetch_ok rows,
+    sitemaps included), then passes the batch through unchanged — the
+    trace costs no extra read or execution."""
+
+    COLS = ["url_norm", "depth", "job_type", "priority", "parent_url",
+            "fetch_vts", "host", "wave"]
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        import pyarrow.compute as pc
+        keep = [c for c in self.COLS if c in t.column_names]
+        part = t.filter(t["fetch_ok"]).select(keep)
+        if part.num_rows:
+            os.makedirs(self.out_dir, exist_ok=True)
+            tag = f"{part['url_norm'][0].as_py()}|{part.num_rows}"
+            name = hashlib.blake2b(tag.encode(),
+                                   digest_size=10).hexdigest()
+            tmp = os.path.join(self.out_dir, f".{name}.tmp")
+            pq.write_table(part, tmp)
+            os.replace(tmp, os.path.join(self.out_dir,
+                                         f"part-{name}.parquet"))
+        return t
+
+
 def finalize_content_items(extracted_dir: str, out_dir: str,
                            order_of: dict[str, int] | None = None,
-                           order_cols: list[str] | None = None) -> str:
+                           order_cols: list[str] | None = None,
+                           trace_dir: str | None = None) -> str:
     """Dedup-upsert finalization (``core/storage.py:103-211``) as a
     distributed groupby: within each similarity_hash group the
     first-visited row wins the insert (keeps url), the last-visited row's
@@ -430,6 +460,9 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
                    for f in _glob.glob(os.path.join(d, "**", "*.parquet"),
                                        recursive=True))
     ds = rd.read_parquet(files)
+    if trace_dir is not None:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+        ds = ds.map_batches(_TraceSpill(trace_dir), batch_format="pyarrow")
     order_ref = ray.put(order_of) if order_of is not None else None
 
     def prep(t: pa.Table) -> pa.Table:

@@ -182,8 +182,7 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         t_wave = _time.time() - t_wave0
         stats["admitted"] += n_next
 
-        ext = pads.dataset(extracted_dir, format="parquet")
-        n_ok = ext.count_rows(filter=(pads.field("fetch_ok") == True))  # noqa: E712
+        _, n_ok = _SpillExtracted.counts(extracted_dir)
         stats["visited"] += n_ok
         stats["fetch_misses"] += n_frontier - n_ok
         stats["waves"] = wave + 1
@@ -207,12 +206,21 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
     ext_glob = [os.path.join(out_dir, d, "extracted")
                 for d in sorted(os.listdir(out_dir)) if d.startswith("wave-")
                 if os.path.exists(os.path.join(out_dir, d, "extracted"))]
+    # the small wave block size would shatter the finalize shuffle into
+    # thousands of tiny blocks (a 1.5 GB groupby took 18x longer under a
+    # 2 MB target) — restore the default for the merge
+    ctx.target_max_block_size = prev_block_size
+    import time as _time
+    t_fin0 = _time.time()
     items_path = None
+    trace_path = None
     if ext_glob:
+        trace_path = os.path.join(out_dir, "trace")
         items_path = finalize_content_items(
             ext_glob, os.path.join(out_dir, "content_items"),
-            order_cols=["wave", "priority", "url_norm"])
-    trace_path = _write_trace(ext_glob, os.path.join(out_dir, "trace"))
+            order_cols=["wave", "priority", "url_norm"],
+            trace_dir=trace_path)
+    stats["sec_finalize"] = round(_time.time() - t_fin0, 3)
     seen_total = sum(pool.counts())
     pool.shutdown()
     ctx.target_max_block_size = prev_block_size
@@ -309,7 +317,12 @@ class _SpillExtracted:
     """Side-effect sink: writes each extracted batch as a parquet part
     (atomic rename; part name is a digest of (first url, row count) so a
     retried task overwrites its own output instead of duplicating), then
-    passes through only the columns the candidate stages need."""
+    passes through only the columns the candidate stages need.
+
+    The part filename carries the batch's (rows, fetch_ok) counts —
+    ``part-<digest>.n<rows>.ok<ok>.parquet`` — so per-wave stats are a
+    directory listing instead of a driver-side scan over every part
+    (which is minutes on a 70k-row wave of hundreds of parts)."""
 
     PASS_COLS = ["url_norm", "links", "depth", "job_type", "priority",
                  "host", "fetch_ok", "sm_kind"]
@@ -320,17 +333,31 @@ class _SpillExtracted:
     def __call__(self, t: pa.Table) -> pa.Table:
         import hashlib
 
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         if t.num_rows:
             os.makedirs(self.out_dir, exist_ok=True)
             tag = f"{t['url_norm'][0].as_py()}|{t.num_rows}"
             name = hashlib.blake2b(tag.encode(),
                                    digest_size=10).hexdigest()
+            n_ok = pc.sum(pc.cast(t["fetch_ok"], pa.int64())).as_py() or 0
+            fname = f"part-{name}.n{t.num_rows}.ok{n_ok}.parquet"
             tmp = os.path.join(self.out_dir, f".{name}.tmp")
             pq.write_table(t.drop_columns(["links"]), tmp)
-            os.replace(tmp, os.path.join(self.out_dir,
-                                         f"part-{name}.parquet"))
+            os.replace(tmp, os.path.join(self.out_dir, fname))
         return t.select(self.PASS_COLS)
+
+    @staticmethod
+    def counts(out_dir: str) -> tuple[int, int]:
+        """(rows, fetch_ok rows) from part filenames — no file opens."""
+        total = ok = 0
+        if os.path.isdir(out_dir):
+            for f in os.listdir(out_dir):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    bits = f.split(".")
+                    total += int(bits[-3][1:])
+                    ok += int(bits[-2][2:])
+        return total, ok
 
 
 class _ExtractFn:
@@ -449,25 +476,3 @@ class _CandidateFn:
             "link_index": t["link_index"].take(pa.array(idx)),
             "parent_priority": t["parent_priority"].take(pa.array(idx)),
         })
-
-
-def _write_trace(extracted_dirs: list[str], out_dir: str) -> str | None:
-    """Column-pruned trace view over the per-wave extracted parts."""
-    import glob as _glob
-
-    import ray.data as rd
-    if not extracted_dirs:
-        return None
-    files = sorted(f for d in extracted_dirs
-                   for f in _glob.glob(os.path.join(d, "*.parquet")))
-    ds = rd.read_parquet(
-        files,
-        columns=["url_norm", "depth", "job_type", "priority", "parent_url",
-                 "fetch_vts", "host", "wave", "fetch_ok"])
-    ds = ds.map_batches(
-        lambda t: t.filter(t["fetch_ok"]).drop_columns(["fetch_ok"]),
-        batch_format="pyarrow")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    ds.write_parquet(out_dir)
-    return out_dir

@@ -103,6 +103,18 @@ class CorpusStore:
                 os.makedirs(root, exist_ok=True)
         os.makedirs(root, exist_ok=True)
         dataset = pads.dataset(pages_path, format="parquet")
+        # large corpora bucketize distributed (one groupby(bucket) pass,
+        # each bucket written url-sorted by its own task); the serial
+        # streaming path below stays for oracle/unit-test scale
+        try:
+            import ray
+            ray_up = ray.is_initialized()
+        except ImportError:      # pragma: no cover
+            ray_up = False
+        if ray_up and dataset.count_rows() > 20_000:
+            return CorpusStore._build_ray(dataset, pages_path, root,
+                                          num_buckets, columns,
+                                          extra_tables, manifest)
         cols = columns or dataset.schema.names
         buffers: dict[int, list[pa.Table]] = {b: [] for b in range(num_buckets)}
         n_rows = 0
@@ -150,6 +162,75 @@ class CorpusStore:
             pq.write_table(table, os.path.join(tmp, "part-0.parquet"),
                            row_group_size=256)
             os.rename(tmp, bdir)
+        with open(manifest, "w") as f:
+            json.dump({"num_buckets": num_buckets, "num_rows": n_rows,
+                       "key": CorpusStore.LAYOUT_KEY}, f)
+        return CorpusStore(root)
+
+    @staticmethod
+    def _build_ray(dataset, pages_path: str, root: str, num_buckets: int,
+                   columns, extra_tables, manifest: str) -> "CorpusStore":
+        """Distributed bucketize: the 100-TB-shaped path (a
+        ``groupby(bucket)`` shuffle where each bucket group sorts by url
+        and writes its own parquet atomically)."""
+        import json
+
+        import pandas as pd
+        import ray.data as rd
+
+        cols = columns or dataset.schema.names
+        n_rows = dataset.count_rows()
+        ds = rd.read_parquet(pages_path, columns=list(cols))
+        if extra_tables:
+            schema = dataset.schema
+            fixed = []
+            for t_extra in extra_tables:
+                arrays = [
+                    (t_extra[c].combine_chunks() if c in t_extra.column_names
+                     else pa.nulls(t_extra.num_rows,
+                                   type=schema.field(c).type))
+                    for c in cols
+                ]
+                fixed.append(pa.Table.from_arrays(arrays, names=list(cols)))
+                n_rows += t_extra.num_rows
+            ds = ds.union(rd.from_arrow(pa.concat_tables(fixed)))
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            b = [host_bucket_of_url(u, num_buckets)
+                 for u in t["url"].to_pylist()]
+            return t.append_column("bucket", pa.array(b, pa.int32()))
+
+        def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            b = int(g["bucket"].iloc[0])
+            table = pa.Table.from_pandas(
+                g.drop(columns=["bucket"]).sort_values("url"),
+                preserve_index=False)
+            bdir = os.path.join(root, f"bucket={b:04d}")
+            tmp = bdir + f".tmp-{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(table, os.path.join(tmp, "part-0.parquet"),
+                           row_group_size=256)
+            try:
+                os.rename(tmp, bdir)
+            except OSError:       # retried task: bucket already complete
+                import shutil as _sh
+                _sh.rmtree(tmp, ignore_errors=True)
+            return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
+
+        (ds.map_batches(add_bucket, batch_format="pyarrow")
+         .groupby("bucket").map_groups(write_bucket,
+                                       batch_format="pandas")
+         .materialize())
+        # empty buckets still need a (schema-bearing) file for readers
+        empty = dataset.head(0)
+        for b in range(num_buckets):
+            bdir = os.path.join(root, f"bucket={b:04d}")
+            if not os.path.exists(bdir):
+                tmp = bdir + ".tmp"
+                os.makedirs(tmp, exist_ok=True)
+                pq.write_table(empty.select(list(cols)),
+                               os.path.join(tmp, "part-0.parquet"))
+                os.rename(tmp, bdir)
         with open(manifest, "w") as f:
             json.dump({"num_buckets": num_buckets, "num_rows": n_rows,
                        "key": CorpusStore.LAYOUT_KEY}, f)

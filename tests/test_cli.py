@@ -1,0 +1,41 @@
+"""CLI surface (reference main.py parity) — non-Ray subcommands; the
+crawl/daemon paths are exercised through the engine tests (the CLI owns
+a Ray session, so invoking them here would tear down the shared pytest
+session)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from crawler_ray.__main__ import main
+
+
+def test_gen_and_discover(tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    assert main(["gen", "--out", out, "--pages", "120", "--hosts", "1",
+                 "--seed", "5"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the plan budget is approximate (fixed pages + 85% posts + lists)
+    assert info["n_plans"] >= 100
+    assert os.path.exists(os.path.join(out, "pages"))
+    assert os.path.exists(os.path.join(out, "robots.parquet"))
+
+    pat_file = str(tmp_path / "patterns.json")
+    assert main(["discover", "--corpus", out, "--out", pat_file]) == 0
+    pats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # reference-parity eps merges same-host URL shapes coarsely; the CLI
+    # just needs to produce host-rooted patterns and persist them
+    assert pats and all(p["pattern"].startswith("https://site0.example/")
+                        for p in pats)
+    assert os.path.exists(pat_file)
+
+
+def test_gen_idempotent(tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    assert main(["gen", "--out", out, "--pages", "60"]) == 0
+    first = capsys.readouterr().out
+    assert main(["gen", "--out", out, "--pages", "60"]) == 0
+    second = capsys.readouterr().out
+    assert json.loads(first.splitlines()[-1])["params"] \
+        == json.loads(second.splitlines()[-1])["params"]

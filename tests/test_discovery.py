@@ -64,3 +64,56 @@ def test_discover_end_to_end_deterministic():
     assert cat and cat[0]["url_count"] >= 15
     for p in p1:
         assert len(p["sample_urls"]) == 5
+
+
+def test_pattern_save_load_round_trip(tmp_path):
+    from crawler_ray.ops.discovery import (discover_url_patterns,
+                                           load_patterns, save_patterns)
+    pats = discover_url_patterns(
+        [f"https://a.example/post/{i}" for i in range(6)])
+    path = str(tmp_path / "patterns.json")
+    save_patterns(pats, path)
+    assert load_patterns(path) == pats
+
+
+def test_discover_selectors_list_and_detail():
+    from crawler_ray.ops.discovery import discover_selectors
+    list_html = (
+        '<html><body><div class="posts-list">'
+        '<div class="post-item"><h3><a href="/post/1">T</a></h3>'
+        '<p class="summary">s</p></div></div>'
+        '<div class="pagination"><a class="next" href="/page/2">n</a></div>'
+        '</body></html>')
+    sels = discover_selectors(list_html, "list")
+    assert sels["container"] == "div.posts-list"
+    assert sels["item"] == "div.post-item"
+    assert sels["title"] == "h3"
+    assert sels["link"] == "a"
+    assert sels["summary"] == "p.summary"
+    assert sels["pagination"] == "div.pagination"
+
+    detail_html = (
+        '<html><body><article><h1>T</h1>'
+        '<span class="pubdate">2020/1/1</span>'
+        '<span class="author-name">X</span><p>body</p></article>'
+        '</body></html>')
+    sels = discover_selectors(detail_html, "detail")
+    assert sels["container"] == "article"
+    assert sels["title"] == "h1"
+    assert sels["date"] == "span.pubdate"
+    assert sels["author"] == "span.author-name"
+
+
+def test_match_selectors_similarity_join():
+    from crawler_ray.ops.discovery import match_selectors
+    stored = {
+        "https://a.example/post/1": {"container": "article"},
+        "https://a.example/category/x/": {"container": "div.posts-list"},
+    }
+    key, sels = match_selectors("https://a.example/post/999", stored)
+    assert key == "https://a.example/post/1"
+    assert sels == {"container": "article"}
+    # below-threshold overlap -> no match
+    key, sels = match_selectors("https://a.example/totally/other/path",
+                                stored)
+    assert key is None and sels is None
