@@ -51,6 +51,7 @@ import pyarrow.dataset as pads
 from crawler_ray.functions.urls import (host_hash64_batch,
                                         normalize_url_batch, url_sha1_batch)
 from crawler_ray.state.admission import AdmissionPool
+from crawler_ray.state.metrics import make_metrics_actor
 
 __all__ = ["run_wave_mode"]
 
@@ -83,6 +84,7 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
 
     pool = AdmissionPool(num_shards=cfg.seen_shards, mode=cfg.seen_mode,
                          robots=robots, default_delay=cfg.default_delay)
+    metrics = make_metrics_actor()
     stats = {"waves": 0, "visited": 0, "admitted": 0, "fetch_misses": 0}
 
     start_wave = 0
@@ -149,7 +151,7 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
 
         ds = rd.read_parquet(frontier_path)
         ds = ds.map_batches(
-            _FetchFn(store.root, store.num_buckets),
+            _FetchFn(store.root, store.num_buckets, metrics),
             batch_format="pyarrow", batch_size=cfg.fetch_batch_size)
         ds = ds.map_batches(_ExtractFn(cfg.classify, cfg.ner_enabled, wave),
                             batch_format="pyarrow",
@@ -197,6 +199,7 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
                        "sec_pipeline": round(t_pipe, 3),
                        "sec_commit": round(t_commit, 3),
                        "seen_snapshot": snap_dir,
+                       "metrics": ray.get(metrics.snapshot.remote()),
                        "stats": stats}, f, indent=2)
         if n_next == 0:
             break
@@ -222,9 +225,12 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
             trace_dir=trace_path)
     stats["sec_finalize"] = round(_time.time() - t_fin0, 3)
     seen_total = sum(pool.counts())
+    metrics_snapshot = ray.get(metrics.snapshot.remote())
+    ray.kill(metrics)
     pool.shutdown()
     ctx.target_max_block_size = prev_block_size
     summary = {"mode": "wave", "stats": {**stats, "seen": seen_total},
+               "metrics": metrics_snapshot,
                "trace_path": trace_path, "extracted_dirs": ext_glob,
                "content_items": items_path}
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
@@ -269,9 +275,10 @@ class _FetchFn:
     containing requested URLs are read.  Parallelism = #batches, not
     #hosts."""
 
-    def __init__(self, root: str, num_buckets: int):
+    def __init__(self, root: str, num_buckets: int, metrics=None):
         self.root = root
         self.num_buckets = num_buckets
+        self.metrics = metrics
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -309,6 +316,15 @@ class _FetchFn:
         status = pa.array(
             [200 if html_map.get(u) is not None else 404 for u in urls],
             pa.int32())
+        if self.metrics is not None:
+            n_hit = sum(1 for u in urls if html_map.get(u) is not None)
+            # fire-and-forget: one RPC per batch, advisory counters
+            # (a retried task may double-count — acceptable for metrics)
+            self.metrics.incr.remote({
+                "urls_visited": n_hit,
+                "fetch_misses": len(urls) - n_hit,
+                "html_bytes": int(sum(len(h) for h in html_map.values())),
+            })
         return (t.append_column("html", html)
                 .append_column("status_code", status))
 

@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from crawler_ray.sources.robots import RobotsTable
-from crawler_ray.state.url_seen import BloomFilter
+from crawler_ray.state.url_seen import BloomFilter, CuckooFilter, make_filter
 
 __all__ = ["AdmissionShardCore", "AdmissionPool", "FRONTIER_FIELDS"]
 
@@ -59,8 +59,8 @@ class AdmissionShardCore:
                  default_delay: float = 1.0):
         self.mode = mode
         self._set: set[bytes] | None = set() if mode == "exact" else None
-        self._bloom = (BloomFilter(expected_keys, bits_per_key)
-                       if mode == "bloom" else None)
+        self._filter = (None if mode == "exact"
+                        else make_filter(mode, expected_keys, bits_per_key))
         self.n_added = 0
         self.robots = robots or RobotsTable(default_delay=default_delay)
         self.last_vts: dict[str, float] = {}
@@ -71,15 +71,17 @@ class AdmissionShardCore:
     def _seen(self, digest: bytes) -> bool:
         if self.mode == "exact":
             return digest in self._set
-        pos = self._bloom._positions(digest)
+        if isinstance(self._filter, CuckooFilter):
+            return self._filter.contains(digest)
+        pos = self._filter._positions(digest)
         masks = np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
-        return bool(np.all(self._bloom.bits[pos >> 3] & masks))
+        return bool(np.all(self._filter.bits[pos >> 3] & masks))
 
     def _mark(self, digest: bytes) -> None:
         if self.mode == "exact":
             self._set.add(digest)
         else:
-            self._bloom.check_and_add(digest)
+            self._filter.check_and_add(digest)
         self.n_added += 1
 
     def contains(self, digests: list[bytes]) -> list[bool]:
@@ -161,7 +163,7 @@ class AdmissionShardCore:
         if self.mode == "exact":
             state["set"] = self._set
         else:
-            state["bloom"] = self._bloom.state()
+            state["filter"] = self._filter.state()
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(state, f, protocol=4)
@@ -177,9 +179,10 @@ class AdmissionShardCore:
         self._proposals = {}
         if self.mode == "exact":
             self._set = state["set"]
-            self._bloom = None
+            self._filter = None
         else:
-            self._bloom = BloomFilter.from_state(state["bloom"])
+            cls = CuckooFilter if self.mode == "cuckoo" else BloomFilter
+            self._filter = cls.from_state(state["filter"])
             self._set = None
         return self.n_added
 

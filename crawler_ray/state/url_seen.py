@@ -27,7 +27,8 @@ import pickle
 
 import numpy as np
 
-__all__ = ["BloomFilter", "URLSeenShardCore", "URLSeenPool"]
+__all__ = ["BloomFilter", "CuckooFilter", "make_filter",
+           "URLSeenShardCore", "URLSeenPool"]
 
 
 class BloomFilter:
@@ -67,6 +68,115 @@ class BloomFilter:
         bf = cls.__new__(cls)
         bf.m, bf.k, bf.bits = state["m"], state["k"], state["bits"]
         return bf
+
+
+class CuckooFilter:
+    """Cuckoo filter over 20-byte digests (Fan et al. 2014): buckets of
+    4 16-bit fingerprints, two candidate buckets via partial-key cuckoo
+    hashing ``i2 = i1 XOR hash(fp)``.  ~2.1 B/key at 95% load with
+    ~0.03% false-positive rate — the north-star's URL-seen structure
+    (a false positive drops a frontier URL, never duplicates work).
+
+    All hashing is derived from the SHA-1 digest halves, so behavior is
+    deterministic across processes.  Insert uses bounded eviction
+    (``max_kicks``); when an eviction chain fails (table effectively
+    full) the displaced fingerprint goes to a stash that membership
+    checks consult — no false negatives ever, graceful degradation."""
+
+    SLOTS = 4
+
+    def __init__(self, expected_keys: int, max_kicks: int = 500):
+        # size to ~95% target load, power-of-two buckets for cheap masks
+        need = max(16, int(expected_keys / (self.SLOTS * 0.95)) + 1)
+        m = 1
+        while m < need:
+            m <<= 1
+        self.m = m
+        self.max_kicks = max_kicks
+        self.table = np.zeros((m, self.SLOTS), dtype=np.uint16)
+        self.stash: list[tuple[int, int]] = []  # (bucket, fingerprint)
+        self.n_keys = 0
+
+    @staticmethod
+    def _fingerprint(digest: bytes) -> int:
+        fp = int.from_bytes(digest[16:18], "big")
+        return fp or 1  # 0 means empty slot
+
+    def _buckets(self, digest: bytes, fp: int) -> tuple[int, int]:
+        i1 = int.from_bytes(digest[:8], "big") & (self.m - 1)
+        # partial-key displacement hash of the fingerprint
+        h_fp = (fp * 0x5BD1E995) & 0xFFFFFFFF
+        i2 = (i1 ^ h_fp) & (self.m - 1)
+        return i1, i2
+
+    def _in_stash(self, fp: int, i1: int, i2: int) -> bool:
+        return any(f == fp and b in (i1, i2) for b, f in self.stash)
+
+    def contains(self, digest: bytes) -> bool:
+        fp = self._fingerprint(digest)
+        i1, i2 = self._buckets(digest, fp)
+        return (fp in self.table[i1] or fp in self.table[i2]
+                or self._in_stash(fp, i1, i2))
+
+    def check_and_add(self, digest: bytes) -> bool:
+        """True if the key was new (now inserted)."""
+        fp = self._fingerprint(digest)
+        i1, i2 = self._buckets(digest, fp)
+        if fp in self.table[i1] or fp in self.table[i2] \
+                or self._in_stash(fp, i1, i2):
+            return False
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                self.n_keys += 1
+                return True
+        # evict: deterministic slot choice derived from the digest
+        i = i1
+        cur = fp
+        seed = int.from_bytes(digest[8:16], "big")
+        for kick in range(self.max_kicks):
+            slot = (seed + kick) % self.SLOTS
+            cur, self.table[i][slot] = int(self.table[i][slot]), cur
+            h_fp = (cur * 0x5BD1E995) & 0xFFFFFFFF
+            i = (i ^ h_fp) & (self.m - 1)
+            row = self.table[i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                self.n_keys += 1
+                return True
+        # eviction chain failed: the NEW key was placed on the first
+        # swap; the homeless item is the last displaced fingerprint —
+        # stash it (its legal buckets are i and i ^ hash(fp))
+        self.stash.append((int(i), int(cur)))
+        self.n_keys += 1
+        return True
+
+    def state(self) -> dict:
+        return {"m": self.m, "max_kicks": self.max_kicks,
+                "table": self.table, "stash": self.stash,
+                "n_keys": self.n_keys}
+
+    @classmethod
+    def from_state(cls, state: dict) -> "CuckooFilter":
+        cf = cls.__new__(cls)
+        cf.m = state["m"]
+        cf.max_kicks = state["max_kicks"]
+        cf.table = state["table"]
+        cf.stash = state["stash"]
+        cf.n_keys = state["n_keys"]
+        return cf
+
+
+def make_filter(mode: str, expected_keys: int, bits_per_key: int = 12):
+    """Approximate-membership factory for the 'bloom'/'cuckoo' modes."""
+    if mode == "bloom":
+        return BloomFilter(expected_keys, bits_per_key)
+    if mode == "cuckoo":
+        return CuckooFilter(expected_keys)
+    raise ValueError(f"unknown filter mode {mode!r}")
 
 
 class URLSeenShardCore:

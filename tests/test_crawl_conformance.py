@@ -219,3 +219,27 @@ class TestMultiHost:
             vts = sorted(r["fetch_vts"] for r in trace if r["host"] == h)
             assert vts[0] == 0.0
             assert all(b - a > 0.49 for a, b in zip(vts, vts[1:]))
+
+
+class TestApproximateSeenModes:
+    """bloom / cuckoo URL-seen shards must reproduce the exact-mode crawl
+    at conformance scale (false positives are possible in principle but
+    deterministic — these fixtures have none)."""
+
+    @pytest.mark.parametrize("mode", ["bloom", "cuckoo"])
+    def test_mode_matches_exact_trace(self, small_corpus, wave_run,
+                                      tmp_path_factory, mode):
+        exact_summary, _, _ = wave_run
+        work = str(tmp_path_factory.mktemp(f"work_{mode}"))
+        eng = CrawlEngine(small_corpus["dir"], work,
+                          CrawlConfig(seen_mode=mode))
+        summary = eng.run(mode="wave")
+        key = lambda r: (r["wave"], r["priority"], r["url_norm"])  # noqa: E731
+        a = sorted(pads.dataset(summary["trace_path"],
+                                format="parquet").to_table().to_pylist(),
+                   key=key)
+        b = sorted(pads.dataset(exact_summary["trace_path"],
+                                format="parquet").to_table().to_pylist(),
+                   key=key)
+        assert len(a) == len(b)
+        assert [_trace_key(r) for r in a] == [_trace_key(r) for r in b]

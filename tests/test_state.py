@@ -120,3 +120,47 @@ def test_bloom_filter_roundtrip_state():
     assert not bf.check_and_add(_digest("k"))
     bf2 = BloomFilter.from_state(bf.state())
     assert not bf2.check_and_add(_digest("k"))
+
+
+class TestCuckooFilter:
+    def test_insert_contains_no_false_negatives(self):
+        from crawler_ray.state.url_seen import CuckooFilter
+        import hashlib
+        cf = CuckooFilter(expected_keys=5000)
+        digests = [hashlib.sha1(f"u{i}".encode()).digest()
+                   for i in range(4000)]
+        for d in digests:
+            assert cf.check_and_add(d) is True
+        for d in digests:           # no false negatives, ever
+            assert cf.contains(d)
+            assert cf.check_and_add(d) is False
+
+    def test_false_positive_rate_bounded(self):
+        from crawler_ray.state.url_seen import CuckooFilter
+        import hashlib
+        cf = CuckooFilter(expected_keys=5000)
+        for i in range(4000):
+            cf.check_and_add(hashlib.sha1(f"u{i}".encode()).digest())
+        fp = sum(cf.contains(hashlib.sha1(f"other{i}".encode()).digest())
+                 for i in range(20000))
+        assert fp / 20000 < 0.01    # 16-bit fingerprints: ~0.03% expected
+
+    def test_state_round_trip(self):
+        from crawler_ray.state.url_seen import CuckooFilter
+        import hashlib
+        cf = CuckooFilter(expected_keys=256)
+        ds = [hashlib.sha1(bytes([i])).digest() for i in range(200)]
+        for d in ds:
+            cf.check_and_add(d)
+        cf2 = CuckooFilter.from_state(cf.state())
+        assert all(cf2.contains(d) for d in ds)
+        assert cf2.check_and_add(ds[0]) is False
+
+    def test_overflow_keeps_correctness(self):
+        from crawler_ray.state.url_seen import CuckooFilter
+        import hashlib
+        cf = CuckooFilter(expected_keys=16)   # tiny table, force overflow
+        ds = [hashlib.sha1(f"x{i}".encode()).digest() for i in range(600)]
+        for d in ds:
+            cf.check_and_add(d)
+        assert all(cf.contains(d) for d in ds)
