@@ -64,6 +64,35 @@ def _crawl_content_items(sf_dir: str):
     return rd.read_parquet(summary["content_items"])
 
 
+def _crawl_host_rates(sf_dir: str):
+    """Per-host politeness rate accounting over the crawl trace (north
+    rule: groupby-aggregate per-host rate accounting).  For each host:
+    visits, virtual-time span, implied visit rate, and the minimum
+    observed gap — which must never undercut the host's crawl-delay."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    summary = _crawl_summary()
+    ds = rd.read_parquet(summary["trace_path"],
+                         columns=["host", "fetch_vts"])
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        vts = g["fetch_vts"].sort_values().to_numpy()
+        gaps = (vts[1:] - vts[:-1]) if len(vts) > 1 else []
+        span = float(vts[-1] - vts[0]) if len(vts) > 1 else 0.0
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "n_visits": pd.Series([len(vts)], dtype="int64"),
+            "vts_span_sec": [span],
+            "visits_per_vminute": [
+                (len(vts) - 1) / span * 60 if span > 0 else 0.0],
+            "min_gap_sec": [float(min(gaps)) if len(gaps) else 0.0],
+        })
+
+    return ds.groupby("host").map_groups(per_host, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.ops import dedup, discovery, multimodal, relational
     from crawler_ray.ops import similarity, textstats, urls_jobs
@@ -113,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only here — inputs are the self-generated corpus, not sf_dir)
         "crawl_trace": _crawl_trace,
         "crawl_content_items": _crawl_content_items,
+        "crawl_host_rates": _crawl_host_rates,
     }
 
 

@@ -22,7 +22,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 # crawl_* run the full engine over a generated corpus — covered by
 # test_crawl_conformance, too slow to repeat here.
-SKIP = {"crawl_trace", "crawl_content_items"}
+SKIP = {"crawl_trace", "crawl_content_items", "crawl_host_rates"}
 
 # rows-only ops where an empty result is legitimate at this tiny sf
 MAY_BE_EMPTY = {"embedding_dup_pairs", "minhash_pairs",
