@@ -173,7 +173,7 @@ def minhash_signatures(sf_dir: str, num_perm: int = 128,
     ds = _rd().read_parquet(f"{sf_dir}/{table}.parquet",
                             columns=["doc_id", "text"])
     return ds.map_batches(_MinHasher, batch_format="pyarrow",
-                          batch_size=256, concurrency=2,
+                          batch_size=256, concurrency=(2, 12),
                           fn_constructor_kwargs={"num_perm": num_perm,
                                                  "shingle_k": shingle_k})
 
@@ -338,7 +338,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
     ds = _rd().read_parquet(f"{sf_dir}/{table}.parquet",
                             columns=["doc_id", "text"])
     sig = ds.map_batches(_SimHasher, batch_format="pyarrow",
-                         batch_size=512, concurrency=2)
+                         batch_size=512, concurrency=(2, 12))
 
     def band_explode(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)

@@ -139,7 +139,7 @@ def fingerprints(sf_dir: str, k: int = 8, window: int = 4):
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return ds.map_batches(_Winnower, batch_format="pyarrow",
-                          batch_size=512, concurrency=2,
+                          batch_size=512, concurrency=(2, 12),
                           fn_constructor_kwargs={"k": k, "window": window})
 
 

@@ -195,42 +195,45 @@ class CorpusStore:
                 n_rows += t_extra.num_rows
             ds = ds.union(rd.from_arrow(pa.concat_tables(fixed)))
 
+        # salt each host-bucket into sub-groups: a Zipf mega-host can
+        # carry multiple GB of html, and >2 GB of binary in ONE shuffle
+        # group overflows 32-bit arrow offsets (and serializes the write);
+        # each (bucket, salt) group writes its own url-sorted part — the
+        # point-lookup filter prunes row groups per file just the same
+        n_salt = 16
+
         def add_bucket(t: pa.Table) -> pa.Table:
-            b = [host_bucket_of_url(u, num_buckets)
-                 for u in t["url"].to_pylist()]
-            return t.append_column("bucket", pa.array(b, pa.int32()))
+            urls = t["url"].to_pylist()
+            b = [host_bucket_of_url(u, num_buckets) for u in urls]
+            s = [bucket_of_url(u, n_salt) for u in urls]
+            return (t.append_column("bucket", pa.array(b, pa.int32()))
+                    .append_column("salt", pa.array(s, pa.int32())))
 
         def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
             b = int(g["bucket"].iloc[0])
+            salt = int(g["salt"].iloc[0])
             table = pa.Table.from_pandas(
-                g.drop(columns=["bucket"]).sort_values("url"),
+                g.drop(columns=["bucket", "salt"]).sort_values("url"),
                 preserve_index=False)
             bdir = os.path.join(root, f"bucket={b:04d}")
-            tmp = bdir + f".tmp-{os.getpid()}"
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(table, os.path.join(tmp, "part-0.parquet"),
-                           row_group_size=256)
-            try:
-                os.rename(tmp, bdir)
-            except OSError:       # retried task: bucket already complete
-                import shutil as _sh
-                _sh.rmtree(tmp, ignore_errors=True)
+            os.makedirs(bdir, exist_ok=True)
+            tmp = os.path.join(bdir, f".part-{salt:02d}.tmp")
+            pq.write_table(table, tmp, row_group_size=256)
+            os.replace(tmp, os.path.join(bdir, f"part-{salt:02d}.parquet"))
             return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
 
         (ds.map_batches(add_bucket, batch_format="pyarrow")
-         .groupby("bucket").map_groups(write_bucket,
-                                       batch_format="pandas")
+         .groupby(["bucket", "salt"]).map_groups(write_bucket,
+                                                 batch_format="pandas")
          .materialize())
         # empty buckets still need a (schema-bearing) file for readers
         empty = dataset.head(0)
         for b in range(num_buckets):
             bdir = os.path.join(root, f"bucket={b:04d}")
             if not os.path.exists(bdir):
-                tmp = bdir + ".tmp"
-                os.makedirs(tmp, exist_ok=True)
+                os.makedirs(bdir, exist_ok=True)
                 pq.write_table(empty.select(list(cols)),
-                               os.path.join(tmp, "part-0.parquet"))
-                os.rename(tmp, bdir)
+                               os.path.join(bdir, "part-0.parquet"))
         with open(manifest, "w") as f:
             json.dump({"num_buckets": num_buckets, "num_rows": n_rows,
                        "key": CorpusStore.LAYOUT_KEY}, f)

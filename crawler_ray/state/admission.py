@@ -25,6 +25,16 @@ into the seen shards turns two Ray sorts per wave into batched actor RPCs
 
 Snapshot/restore covers seen + clocks (proposals are always empty at
 snapshot time), giving the same per-wave lineage/resume as before.
+
+Mega-host skew: extraction/fetch parallelism is host-independent (fused
+map tasks over fixed-size batches — the salted-repartition effect the
+north rule asks for, by construction), but a host's COMMIT (sort + vts
+stamping of its admitted rows) is serial within its shard.  At sandbox
+scales that sort is microseconds; at 10^10-frontier scale a mega-host's
+per-wave commit would be range-split by priority segments — each segment
+stamped with ``base + offset_of_segment + i*delay`` so rank arithmetic
+(and therefore vts values) is unchanged — before parallelizing across
+helper tasks.  Documented here as the designated extension point.
 """
 
 from __future__ import annotations
