@@ -37,7 +37,7 @@ def _bench_dirs(n_pages: int, scale: int) -> tuple[str, str]:
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "12000"))
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "40000"))
     # scale 8 puts post HTML at ~10-15 KB — Common-Crawl-like page sizes,
     # so the crawl benchmark is extraction-bound the way production is
     page_scale = int(os.environ.get("GRAFT_PAGE_SCALE", "8"))
