@@ -24,16 +24,23 @@ _ENTRY_PAGES = 250
 
 
 def _crawl_summary() -> dict:
-    """Generate the cached corpus and run the wave-mode crawl once."""
+    """Generate the cached corpus and run the wave-mode crawl once.  The
+    work dir is keyed by the corpus generator's parameter set, so a
+    generator version bump invalidates any stale cached crawl."""
+    import hashlib
     import json
 
     from crawler_ray.corpus import generate_corpus
     from crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
 
     corpus_dir = os.path.join(_ENTRY_CACHE, "corpus")
-    work_dir = os.path.join(_ENTRY_CACHE, "work")
+    info = generate_corpus(corpus_dir, n_pages=_ENTRY_PAGES, n_hosts=2,
+                           seed=42)
+    tag = hashlib.blake2b(
+        json.dumps(info["params"], sort_keys=True).encode(),
+        digest_size=6).hexdigest()
+    work_dir = os.path.join(_ENTRY_CACHE, f"work_{tag}")
     summary_path = os.path.join(work_dir, "wave", "summary.json")
-    generate_corpus(corpus_dir, n_pages=_ENTRY_PAGES, n_hosts=2, seed=42)
     if os.path.exists(summary_path):
         with open(summary_path) as f:
             return json.load(f)

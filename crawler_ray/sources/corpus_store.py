@@ -209,22 +209,23 @@ class CorpusStore:
             return (t.append_column("bucket", pa.array(b, pa.int32()))
                     .append_column("salt", pa.array(s, pa.int32())))
 
-        def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            b = int(g["bucket"].iloc[0])
-            salt = int(g["salt"].iloc[0])
-            table = pa.Table.from_pandas(
-                g.drop(columns=["bucket", "salt"]).sort_values("url"),
-                preserve_index=False)
+        def write_bucket(g: pa.Table) -> pa.Table:
+            # arrow-native group handling: binary html never round-trips
+            # through pandas object dtype
+            b = int(g["bucket"][0].as_py())
+            salt = int(g["salt"][0].as_py())
+            table = g.drop_columns(["bucket", "salt"]).sort_by("url")
             bdir = os.path.join(root, f"bucket={b:04d}")
             os.makedirs(bdir, exist_ok=True)
             tmp = os.path.join(bdir, f".part-{salt:02d}.tmp")
             pq.write_table(table, tmp, row_group_size=256)
             os.replace(tmp, os.path.join(bdir, f"part-{salt:02d}.parquet"))
-            return pd.DataFrame({"bucket": [b], "rows": [len(g)]})
+            return pa.table({"bucket": pa.array([b], pa.int32()),
+                             "rows": pa.array([g.num_rows], pa.int64())})
 
         (ds.map_batches(add_bucket, batch_format="pyarrow")
          .groupby(["bucket", "salt"]).map_groups(write_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
          .materialize())
         # empty buckets still need a (schema-bearing) file for readers
         empty = dataset.head(0)
