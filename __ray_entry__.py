@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": relational.customers_no_orders,
         "user_top_events": relational.user_top_events,
         "clicks_asof_views": relational.clicks_asof_views,
+        "error_recent_activity": relational.error_recent_activity,
         # dedup family (D1-D3 + training-data dedup)
         "exact_dedup": dedup.exact_dedup,
         "similarity_dedup": dedup.similarity_dedup,
@@ -273,6 +274,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us
             FROM c ASOF JOIN v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "error_recent_activity": """
+            SELECT e.event_id, e.user_id,
+                   CAST(epoch_us(e.ts) AS BIGINT) AS error_ts_us,
+                   CAST(COUNT(a.event_id) AS BIGINT) AS n_recent
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            LEFT JOIN events a
+              ON a.user_id = e.user_id
+             AND a.ts >= e.ts - INTERVAL 5 MINUTE AND a.ts < e.ts
+            GROUP BY e.event_id, e.user_id, e.ts
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

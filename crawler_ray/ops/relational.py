@@ -25,7 +25,7 @@ __all__ = [
     "pricing_summary", "top_parts", "orders_filter", "events_by_type",
     "brand_revenue", "region_customers", "events_tumbling_window",
     "sessionize", "customers_no_orders", "user_top_events",
-    "clicks_asof_views",
+    "clicks_asof_views", "error_recent_activity",
 ]
 
 
@@ -373,6 +373,42 @@ def clicks_asof_views(sf_dir: str):
             "view_event_id": j["view_event_id"].astype("int64"),
             "view_ts_us": j["view_event_id"].map(vmap).astype("int64"),
         })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+
+
+def error_recent_activity(sf_dir: str, window_minutes: int = 5):
+    """Range (interval) join — the other custom-operator shape the
+    Dataset API lacks (SURVEY §2 composition rule): for each 'error'
+    event, how many events the same user produced in the strictly
+    preceding ``window_minutes``.  Per user: one sort + vectorized
+    ``searchsorted`` over the interval bounds — no pairwise expansion,
+    so a user with E events and K errors costs O((E+K) log E), not
+    O(E*K).  Partitioning assumption: one user's events fit one group
+    (same as the as-of join above)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    w_us = window_minutes * 60 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        err = g[g["event_type"] == "error"]
+        if err.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "error_ts_us": pd.Series([], dtype="int64"),
+                "n_recent": pd.Series([], dtype="int64")})
+        e_ts = err["ts"].astype("int64").to_numpy()
+        right = np.searchsorted(ts, e_ts, side="left")       # < e.ts
+        left = np.searchsorted(ts, e_ts - w_us, side="left")  # >= e.ts-w
+        return pd.DataFrame({
+            "event_id": err["event_id"].astype("int64").to_numpy(),
+            "user_id": err["user_id"].astype("int64").to_numpy(),
+            "error_ts_us": e_ts,
+            "n_recent": (right - left).astype("int64")})
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pandas")
