@@ -88,7 +88,14 @@ def run_bench() -> dict:
         "brand_revenue": lambda: relational.brand_revenue(sf_dir),
         "tumbling_window": lambda: relational.events_tumbling_window(sf_dir),
         "sessionize": lambda: relational.sessionize(sf_dir),
+        "clicks_asof_views": lambda: relational.clicks_asof_views(sf_dir),
+        "error_recent_activity":
+            lambda: relational.error_recent_activity(sf_dir),
         "exact_dedup": lambda: dedup.exact_dedup(sf_dir),
+        # ngram_jaccard_pairs is oracle-gated at sf0.01 but excluded here:
+        # exact n-gram Jaccard is intentionally quadratic in docs-per-gram
+        # and the low-entropy sf0.1 corpus makes that blow up (the
+        # documented hot-gram cost; MinHash below is the scale path)
         "minhash_pairs": lambda: dedup.minhash_lsh_pairs(sf_dir),
         "simhash_pairs": lambda: dedup.simhash_pairs(sf_dir),
         "embedding_dup_pairs": lambda: dedup.embedding_dup_pairs(sf_dir),
