@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": textstats.text_quality,
         "fingerprints": textstats.fingerprints,
         "classify_docs": textstats.classify_docs,
+        "curate_corpus": textstats.curate_corpus,
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
@@ -378,6 +379,22 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(regexp_extract_all(text, '[?؟]'))
                             AS BIGINT) AS question_marks
                 FROM documents)
+        """,
+        "curate_corpus": """
+            WITH h AS (
+                SELECT doc_id, md5(text) AS text_hash,
+                       CAST(len(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS n_words
+                FROM documents
+            ), w AS (
+                SELECT text_hash, MIN(doc_id) AS keep_id
+                FROM h GROUP BY text_hash
+            )
+            SELECT h.doc_id, h.n_words,
+                   CASE WHEN w.keep_id != h.doc_id THEN 'dup'
+                        WHEN h.n_words < 30 THEN 'short'
+                        ELSE 'keep' END AS verdict
+            FROM h JOIN w USING (text_hash)
         """,
         "url_normalize": f"""
             SELECT doc_id, url,

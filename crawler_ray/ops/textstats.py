@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["token_counts", "lang_id", "text_quality", "fingerprints",
-           "classify_docs"]
+           "classify_docs", "curate_corpus"]
 
 _TOKEN_RE = re.compile(r"\S+")
 _ARABIC_RE = re.compile("[؀-ۿ]")
@@ -189,3 +189,57 @@ def classify_docs(sf_dir: str):
                          "doc_class": pa.array(labels, pa.string())})
 
     return ds.map_batches(classify, batch_format="pyarrow")
+
+
+def curate_corpus(sf_dir: str, min_words: int = 30):
+    """Training-data curation verdict per document — the composition the
+    dedup/quality/lang operators exist for: exact-dedup first-wins, then
+    a minimum-length quality gate.  Output (doc_id, n_words, verdict) with
+    verdict in {'dup', 'short', 'keep'} (first matching rule wins, so the
+    decision is order-deterministic and SQL-replayable).
+
+    Plan shape: one hashing+counting pass over the documents (vectorized
+    per batch), a Min-aggregate on the 16-byte hash to pick winners, the
+    winner set broadcast via ``ray.put`` into the verdict pass — only
+    hashes shuffle, never text.  At 10^9-doc scale the broadcast becomes
+    a hash-keyed join, same as the other seen-set patterns."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Min
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def hash_and_count(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        hashes = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                  for s in texts]
+        words = [len(_TOKEN_RE.findall(s)) for s in texts]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text_hash": pa.array(hashes, pa.string()),
+                         "n_words": pa.array(words, pa.int64())})
+
+    hashed = ds.map_batches(hash_and_count,
+                            batch_format="pyarrow").materialize()
+    winners = (hashed.groupby("text_hash")
+               .aggregate(Min("doc_id", alias_name="keep_id")).to_pandas())
+    win_ref = ray.put(dict(zip(winners["text_hash"],
+                               winners["keep_id"].astype(int))))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        win = ray.get(win_ref)
+        out = []
+        for doc_id, h, w in zip(t["doc_id"].to_pylist(),
+                                t["text_hash"].to_pylist(),
+                                t["n_words"].to_pylist()):
+            if win[h] != doc_id:
+                out.append("dup")
+            elif w < min_words:
+                out.append("short")
+            else:
+                out.append("keep")
+        return (t.drop_columns(["text_hash"])
+                .append_column("verdict", pa.array(out, pa.string())))
+
+    return hashed.map_batches(verdict, batch_format="pyarrow")
