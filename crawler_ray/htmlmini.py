@@ -252,11 +252,15 @@ class _TreeBuilder(HTMLParser):
         self._stack: list[Element] = [self.root]
 
     def handle_starttag(self, tag, attrs):
+        import sys
         attr_dict: dict[str, str] = {}
         for k, v in attrs:
             if k not in attr_dict:  # keep first occurrence like bs4
-                attr_dict[k] = "" if v is None else v
-        el = Element(tag, attr_dict)
+                attr_dict[sys.intern(k)] = "" if v is None else v
+        # interned tag names: one shared string object per tag across the
+        # whole corpus — identity-fast comparisons in the find fast path
+        # and far fewer small allocations in the parse storm
+        el = Element(sys.intern(tag), attr_dict)
         self._stack[-1]._append_element(el)
         if tag not in _VOID_ELEMENTS:
             self._stack.append(el)
