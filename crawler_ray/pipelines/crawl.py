@@ -459,7 +459,15 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
     files = sorted(f for d in dirs
                    for f in _glob.glob(os.path.join(d, "**", "*.parquet"),
                                        recursive=True))
-    ds = rd.read_parquet(files)
+    # column-prune the read: the merge + trace need neither the payload
+    # counters nor the fetch-join bookkeeping columns
+    need = {"url_norm", "title", "content", "content_type", "date",
+            "author", "entities_json", "similarity_hash", "domains",
+            "fetch_ok", "job_type"} | set(_TraceSpill.COLS) \
+        | set(order_cols or [])
+    import pyarrow.parquet as _pq
+    have = {f.name for f in _pq.read_schema(files[0])}
+    ds = rd.read_parquet(files, columns=sorted(need & have))
     if trace_dir is not None:
         shutil.rmtree(trace_dir, ignore_errors=True)
         ds = ds.map_batches(_TraceSpill(trace_dir), batch_format="pyarrow")
