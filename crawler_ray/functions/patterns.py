@@ -14,7 +14,6 @@ The default rule set = the reference's list-URL heuristics plus a
 from __future__ import annotations
 
 import re
-from urllib.parse import urlparse
 
 __all__ = ["URLPatternClassifier", "default_url_classifier"]
 

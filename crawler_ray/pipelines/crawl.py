@@ -528,7 +528,6 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
         return out.reset_index(names="similarity_hash")
 
     def add_merge_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
         b = [int(h[:4], 16) % 64 for h in
              t["similarity_hash"].to_pylist()]
         return t.append_column("merge_bucket", pa.array(b, pa.int32()))

@@ -53,8 +53,6 @@ def frontier_candidate_batch(batch: pa.Table,
     assigns job_type from the pattern config and the vectorized priority.
     Seen-filtering happens later against the URL-seen shards.
     """
-    import pyarrow.compute as pc
-
     links = batch["link"].to_pylist()
     norm = normalize_url_batch(links)
     hosts = [u.split("/", 3)[2] if "//" in u else "" for u in norm]

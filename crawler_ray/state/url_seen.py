@@ -21,7 +21,6 @@ Shards snapshot/restore to files for checkpoint-resume lineage.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import pickle
 
