@@ -83,8 +83,11 @@ class CrawlConfig:
     # when one mega-host bucket carries most of a wave (Zipf skew)
     target_block_size: int = 2 * 1024 * 1024
     seen_shards: int = 4             # wave mode: URL-seen actor shards
-    seen_mode: str = "exact"         # 'exact' | 'bloom'
+    seen_mode: str = "exact"         # 'exact' | 'bloom' | 'cuckoo'
     checkpoint_every: int = 5        # strict rounds between snapshots
+    # internal wave-mode knobs used by the strict prefetch
+    spill_links: bool = False        # also spill (url, links) side parts
+    run_finalize: bool = True        # skip content_items/trace (prefetch)
     policies: PriorityPolicyManager = field(
         default_factory=default_policy_manager)
     patterns: URLPatternClassifier = field(
@@ -295,6 +298,15 @@ class CrawlEngine:
                     admit(seed, 0, "page", None, None)
 
         results: dict[str, tuple] = {}  # url -> (ok, links, sm_kind)
+        # BFS prefetch: strict-visited ⊆ BFS-reachable (the tested
+        # invariant between the two modes), so ONE parallel wave run
+        # precomputes every (fetch_ok, links, sm_kind) the replay can ask
+        # for.  Without it the replay degenerates into thousands of tiny
+        # speculation rounds (~3 newly-admitted URLs each) because fresh
+        # admissions always outrank already-processed heap entries.  The
+        # speculative per-round path below remains as a fallback for any
+        # URL the prefetch missed.
+        results.update(self._bfs_prefetch())
 
         def consume(job: _Job) -> None:
             host = urlparse(job.url).netloc
@@ -372,18 +384,69 @@ class CrawlEngine:
                                last_vts, stats, seq_counter)
         trace_path = os.path.join(out_dir, "trace.parquet")
         pq.write_table(self._trace_table(trace), trace_path)
+        # content parts come from the strict fallback rounds AND the
+        # prefetch waves; order_of filters to strictly-visited urls and
+        # the merge dedups per (hash, url), so overlap is harmless
+        prefetch_ext = [
+            os.path.join(self.work_dir, "strict", "prefetch", "wave", d,
+                         "extracted")
+            for d in sorted(os.listdir(os.path.join(
+                self.work_dir, "strict", "prefetch", "wave")))
+            if d.startswith("wave-")
+            and os.path.exists(os.path.join(
+                self.work_dir, "strict", "prefetch", "wave", d,
+                "extracted"))
+        ] if os.path.isdir(os.path.join(self.work_dir, "strict",
+                                        "prefetch", "wave")) else []
         items_path = finalize_content_items(
-            extracted_dir, os.path.join(out_dir, "content_items"),
+            [extracted_dir] + prefetch_ext if os.path.isdir(extracted_dir)
+            else prefetch_ext,
+            os.path.join(out_dir, "content_items"),
             order_of={t["url_norm"]: t["order"] for t in trace})
         stats["visited"] = len(trace)
         stats["seen"] = len(seen)
+        all_ext = (([extracted_dir] if os.path.isdir(extracted_dir)
+                    else []) + prefetch_ext)
         summary = {"mode": "strict", "stats": stats,
                    "trace_path": trace_path,
-                   "extracted_dir": extracted_dir,
+                   "extracted_dirs": all_ext,
                    "content_items": items_path}
         with open(os.path.join(out_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2, default=str)
         return summary
+
+    def _bfs_prefetch(self) -> dict[str, tuple]:
+        """Run the wave engine (resumable, finalize skipped, links
+        side-spilled) over the same corpus/config and return the replay
+        food map url -> (fetch_ok, links, sm_kind)."""
+        import dataclasses
+        import glob as _glob
+
+        from crawler_ray.pipelines.wave import run_wave_mode
+
+        clone = CrawlEngine.__new__(CrawlEngine)
+        clone.corpus_dir = self.corpus_dir
+        clone.work_dir = os.path.join(self.work_dir, "strict", "prefetch")
+        os.makedirs(clone.work_dir, exist_ok=True)
+        clone.cfg = dataclasses.replace(
+            self.cfg, spill_links=True, run_finalize=False, max_pages=None)
+        clone.robots = self.robots
+        clone.seed_urls = self.seed_urls
+        clone._sitemaps_table = self._sitemaps_table
+        clone.store = self.store
+        run_wave_mode(clone, resume=True)
+
+        out: dict[str, tuple] = {}
+        files = sorted(_glob.glob(os.path.join(
+            clone.work_dir, "wave", "wave-*", "links", "*.parquet")))
+        max_depth = self.cfg.max_depth
+        for f in files:
+            t = pq.read_table(f)
+            for url, links, sm_kind, ok in zip(
+                    t["url_norm"].to_pylist(), t["links"].to_pylist(),
+                    t["sm_kind"].to_pylist(), t["fetch_ok"].to_pylist()):
+                out[url] = (ok, links or [], sm_kind or "")
+        return out
 
     @staticmethod
     def _trace_table(trace: list[dict]) -> pa.Table:

@@ -159,7 +159,9 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         # extracted rows spill to parquet as a side effect (atomic,
         # deterministic part names -> task retries overwrite instead of
         # duplicating); only the link columns continue downstream
-        ds = ds.map_batches(_SpillExtracted(extracted_dir),
+        links_dir = (os.path.join(wave_dir, "links")
+                     if cfg.spill_links else None)
+        ds = ds.map_batches(_SpillExtracted(extracted_dir, links_dir),
                             batch_format="pyarrow")
         cand = ds.map_batches(_explode_links, batch_format="pyarrow")
         cand = cand.map_batches(
@@ -217,7 +219,7 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
     t_fin0 = _time.time()
     items_path = None
     trace_path = None
-    if ext_glob:
+    if ext_glob and cfg.run_finalize:
         trace_path = os.path.join(out_dir, "trace")
         items_path = finalize_content_items(
             ext_glob, os.path.join(out_dir, "content_items"),
@@ -343,8 +345,9 @@ class _SpillExtracted:
     PASS_COLS = ["url_norm", "links", "depth", "job_type", "priority",
                  "host", "fetch_ok", "sm_kind"]
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, links_dir: str | None = None):
         self.out_dir = out_dir
+        self.links_dir = links_dir
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import hashlib
@@ -361,6 +364,15 @@ class _SpillExtracted:
             tmp = os.path.join(self.out_dir, f".{name}.tmp")
             pq.write_table(t.drop_columns(["links"]), tmp)
             os.replace(tmp, os.path.join(self.out_dir, fname))
+            if self.links_dir is not None:
+                # side table for the strict replay: per-url outlinks
+                os.makedirs(self.links_dir, exist_ok=True)
+                ltmp = os.path.join(self.links_dir, f".{name}.tmp")
+                pq.write_table(
+                    t.select(["url_norm", "links", "sm_kind", "fetch_ok"]),
+                    ltmp)
+                os.replace(ltmp, os.path.join(self.links_dir,
+                                              f"part-{name}.parquet"))
         return t.select(self.PASS_COLS)
 
     @staticmethod

@@ -68,8 +68,10 @@ class TestStrictConformance:
             *[pq.read_table(os.path.join(corpus_dir, "pages"),
                             columns=["url", "text"])[c].to_pylist()
               for c in ("url", "text")]))
-        ext = pads.dataset(summary["extracted_dir"],
-                           format="parquet").to_table(
+        import glob as _glob
+        files = sorted(f for d in summary["extracted_dirs"]
+                       for f in _glob.glob(os.path.join(d, "*.parquet")))
+        ext = pads.dataset(files, format="parquet").to_table(
             columns=["url_norm", "content", "job_type", "fetch_ok"])
         n = 0
         for url, content, jt, ok in zip(*[ext[c].to_pylist()
