@@ -501,14 +501,29 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
                            order_of: dict[str, int] | None = None,
                            order_cols: list[str] | None = None,
                            trace_dir: str | None = None) -> str:
-    """Dedup-upsert finalization (``core/storage.py:103-211``) as a
-    distributed groupby: within each similarity_hash group the
-    first-visited row wins the insert (keeps url), the last-visited row's
-    title/content/content_type/meta overwrite (update semantics).
+    """Dedup-upsert finalization (``core/storage.py:103-211``) in TWO
+    phases so page content never crosses the shuffle:
 
+    1. **Decide** — read only the small columns (url, similarity_hash,
+       visit-order columns; ``similarity_hash IS NULL`` is exactly the
+       empty-content filter, so content bytes stay on disk), spill the
+       crawl trace as a side effect, and run the first-wins/last-update
+       merge per hash over a bucketed groupby of ~60 B rows.
+    2. **Build** — broadcast the winner map (last-visited url -> merged
+       attributes) and stream the full parts once: rows whose url is a
+       winner pick up their attributes and are written directly.  URLs
+       are unique across parts (wave admission dedups; strict fallback
+       parts are disjoint from prefetch parts by construction), so no
+       content ever shuffles.
+
+    Semantics: within each similarity_hash group the first-visited row
+    wins the insert (keeps url), the last-visited row's
+    title/content/content_type/meta overwrite (update semantics).
     ``order_of``: visit order per url (strict mode; broadcast via
     ``ray.put``).  ``order_cols``: columns already on the rows that sort
-    lexicographically in visit order (wave mode).
+    lexicographically in visit order (wave mode).  The winner broadcast
+    is one small row per distinct hash; at 10^9-hash scale it becomes a
+    url-keyed join like the other seen-set patterns.
     """
     import glob as _glob
 
@@ -516,39 +531,35 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
     import ray
     import ray.data as rd
 
-    # Ray's read_parquet treats a *list* argument as files; expand dirs
     dirs = ([extracted_dir] if isinstance(extracted_dir, str)
             else list(extracted_dir))
     files = sorted(f for d in dirs
                    for f in _glob.glob(os.path.join(d, "**", "*.parquet"),
                                        recursive=True))
-    # column-prune the read: the merge + trace need neither the payload
-    # counters nor the fetch-join bookkeeping columns
-    need = {"url_norm", "title", "content", "content_type", "date",
-            "author", "entities_json", "similarity_hash", "domains",
-            "fetch_ok", "job_type"} | set(_TraceSpill.COLS) \
-        | set(order_cols or [])
     import pyarrow.parquet as _pq
     have = {f.name for f in _pq.read_schema(files[0])}
-    ds = rd.read_parquet(files, columns=sorted(need & have))
+    sort_cols = ["__order"] if order_of is not None else list(order_cols)
+
+    # -- phase 1: decide winners (small columns only) -----------------------
+    small_need = ({"url_norm", "similarity_hash", "fetch_ok"}
+                  | set(_TraceSpill.COLS) | set(order_cols or []))
+    ds = rd.read_parquet(files, columns=sorted(small_need & have))
     if trace_dir is not None:
         shutil.rmtree(trace_dir, ignore_errors=True)
         ds = ds.map_batches(_TraceSpill(trace_dir), batch_format="pyarrow")
     order_ref = ray.put(order_of) if order_of is not None else None
 
-    def prep(t: pa.Table) -> pa.Table:
-        import json as _json
+    def decide_prep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        t = t.filter(pc.and_(t["fetch_ok"], pc.not_equal(t["content"], "")))
-        # list columns don't survive Ray's pandas block round-trip;
-        # JSON-encode domains before the pandas groupby stages
-        dom = pa.array([_json.dumps(d, ensure_ascii=False)
-                        for d in t["domains"].to_pylist()], pa.string())
-        keep = [c for c in t.column_names
-                if c not in ("domains", "links", "fetch_ok")]
-        return t.select(keep).append_column("domains_json", dom)
+        t = t.filter(pc.and_(t["fetch_ok"],
+                             pc.is_valid(t["similarity_hash"])))
+        keep = ["url_norm", "similarity_hash"] + [
+            c for c in (order_cols or [])
+            if c in t.column_names and c not in ("url_norm",
+                                                 "similarity_hash")]
+        return t.select(keep)
 
-    ds = ds.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(decide_prep, batch_format="pyarrow")
 
     def attach_order(df: pd.DataFrame) -> pd.DataFrame:
         omap = ray.get(order_ref)
@@ -557,14 +568,8 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
 
     if order_of is not None:
         ds = ds.map_batches(attach_order, batch_format="pandas")
-        sort_cols = ["__order"]
-    else:
-        sort_cols = list(order_cols)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized first-wins/last-update merge for every hash in this
-        # bucket (grouping on similarity_hash directly would pay Ray's
-        # per-group cost for thousands of tiny groups)
+    def decide_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["similarity_hash"] + sort_cols,
                           kind="mergesort")
         g = g.drop_duplicates(subset=["similarity_hash", "url_norm"],
@@ -575,17 +580,9 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
         lasts = g.drop_duplicates(subset=["similarity_hash"],
                                   keep="last").set_index("similarity_hash")
         counts = g.groupby("similarity_hash", sort=False).size()
-        out = pd.DataFrame({
-            "url": firsts["url_norm"],
-            "title": lasts["title"],
-            "content": lasts["content"],
-            "content_type": lasts["content_type"],
-            "date": lasts["date"],
-            "author": lasts["author"],
-            "entities_json": lasts["entities_json"],
-            "domains_json": lasts["domains_json"],
-            "n_versions": counts,
-        })
+        out = pd.DataFrame({"url": firsts["url_norm"],
+                            "last_url": lasts["url_norm"],
+                            "n_versions": counts})
         for c in sort_cols:
             out[f"first_{c}"] = firsts[c]
         return out.reset_index(names="similarity_hash")
@@ -595,10 +592,48 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
              t["similarity_hash"].to_pylist()]
         return t.append_column("merge_bucket", pa.array(b, pa.int32()))
 
-    ds = ds.map_batches(add_merge_bucket, batch_format="pyarrow")
-    items = ds.groupby("merge_bucket").map_groups(
-        lambda g: merge_bucket(g.drop(columns=["merge_bucket"])),
-        batch_format="pandas")
+    winners = (ds.map_batches(add_merge_bucket, batch_format="pyarrow")
+               .groupby("merge_bucket")
+               .map_groups(
+                   lambda g: decide_bucket(g.drop(columns=["merge_bucket"])),
+                   batch_format="pandas")
+               .to_pandas())
+    attr_cols = [c for c in winners.columns if c != "last_url"]
+    win_ref = ray.put({r.last_url: i for i, r in
+                       enumerate(winners.itertuples())})
+    rows_ref = ray.put(winners[attr_cols])
+
+    # -- phase 2: stream content once, no shuffle ---------------------------
+    big_need = {"url_norm", "title", "content", "content_type", "date",
+                "author", "entities_json", "domains"}
+    ds2 = rd.read_parquet(files, columns=sorted(big_need & have))
+
+    def build(t: pa.Table) -> pa.Table:
+        import json as _json
+        win = ray.get(win_ref)
+        idx = [win.get(u) for u in t["url_norm"].to_pylist()]
+        mask = pa.array([i is not None for i in idx])
+        t = t.filter(mask)
+        picked = ray.get(rows_ref).iloc[
+            [i for i in idx if i is not None]].reset_index(drop=True)
+        dom = pa.array([_json.dumps(d, ensure_ascii=False)
+                        for d in t["domains"].to_pylist()], pa.string())
+        out = pa.table({
+            "similarity_hash": pa.array(picked["similarity_hash"],
+                                        pa.string()),
+            "url": pa.array(picked["url"], pa.string()),
+            "title": t["title"], "content": t["content"],
+            "content_type": t["content_type"], "date": t["date"],
+            "author": t["author"], "entities_json": t["entities_json"],
+            "domains_json": dom,
+            "n_versions": pa.array(picked["n_versions"], pa.int64()),
+        })
+        for c in sort_cols:
+            out = out.append_column(f"first_{c}",
+                                    pa.array(picked[f"first_{c}"]))
+        return out
+
+    items = ds2.map_batches(build, batch_format="pyarrow")
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     items.write_parquet(out_dir)

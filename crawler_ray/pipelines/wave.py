@@ -106,6 +106,13 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
                 break
         if pick is not None:
             last, manifest = pick
+            snap_shards = manifest.get("seen_shards", cfg.seen_shards)
+            if snap_shards != cfg.seen_shards:
+                raise ValueError(
+                    f"cannot resume: checkpoint has {snap_shards} "
+                    f"admission shards, config wants {cfg.seen_shards} "
+                    "(host->shard routing would change; re-run fresh or "
+                    "match seen_shards)")
             pool.restore(manifest["seen_snapshot"])
             stats = manifest["stats"]
             start_wave = last + 1
@@ -196,6 +203,7 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         pool.snapshot(snap_dir)
         with open(os.path.join(wave_dir, "manifest.json"), "w") as f:
             json.dump({"wave": wave, "frontier_rows": n_frontier,
+                       "seen_shards": cfg.seen_shards,
                        "visited_rows": n_ok, "next_frontier_rows": n_next,
                        "sec_wave": round(t_wave, 3),
                        "sec_pipeline": round(t_pipe, 3),
