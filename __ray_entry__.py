@@ -314,18 +314,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE (c * 1000) // (sa.n + sb.n - c) >= 500
         """,
         "classify_docs": """
-            WITH counts AS (
+            -- keywords counted over [a-z0-9_]+ tokens (not \\b boundaries):
+            -- Python re boundaries are Unicode-aware, RE2's are ASCII
+            WITH toks AS (
                 SELECT doc_id,
-                    CAST(len(regexp_extract_all(lower(text),
-                        '\\b(?:query|table|join|scan|filter|sort)\\b'))
-                        AS BIGINT) AS n_sql,
-                    CAST(len(regexp_extract_all(lower(text),
-                        '\\b(?:stream|window|watermark|event|batch|state)\\b'))
-                        AS BIGINT) AS n_streaming,
-                    CAST(len(regexp_extract_all(lower(text),
-                        '\\b(?:vector|model|train|embed|feature|label)\\b'))
-                        AS BIGINT) AS n_ml
-                FROM documents)
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS w
+                FROM documents
+            ), counts AS (
+                SELECT d.doc_id,
+                    CAST(COALESCE(SUM(CASE WHEN w IN ('query','table',
+                        'join','scan','filter','sort') THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS n_sql,
+                    CAST(COALESCE(SUM(CASE WHEN w IN ('stream','window',
+                        'watermark','event','batch','state')
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_streaming,
+                    CAST(COALESCE(SUM(CASE WHEN w IN ('vector','model',
+                        'train','embed','feature','label')
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ml
+                FROM documents d LEFT JOIN toks USING (doc_id)
+                GROUP BY d.doc_id)
             SELECT doc_id, n_sql, n_streaming, n_ml,
                    CASE WHEN n_sql = 0 AND n_streaming = 0 AND n_ml = 0
                              THEN 'other'

@@ -154,8 +154,15 @@ DOC_CLASS_KEYWORDS: dict[str, list[str]] = {
     "ml": ["vector", "model", "train", "embed", "feature", "label"],
 }
 
-_CLASS_RES = {name: re.compile(r"\b(?:" + "|".join(kws) + r")\b")
-              for name, kws in DOC_CLASS_KEYWORDS.items()}
+# Tokenize with an explicit ASCII word class instead of ``\b`` keyword
+# regexes: Python ``re`` word boundaries are Unicode-aware while DuckDB's
+# RE2 boundaries are ASCII, so a non-ASCII word character adjacent to a
+# keyword would make engine and oracle counts diverge.  ``[a-z0-9_]+``
+# means the same thing in both engines (same trick as
+# ``ngram_jaccard_pairs``).
+_WORD_RE = re.compile(r"[a-z0-9_]+")
+_CLASS_SETS = {name: frozenset(kws)
+               for name, kws in DOC_CLASS_KEYWORDS.items()}
 
 
 def classify_docs(sf_dir: str):
@@ -163,16 +170,18 @@ def classify_docs(sf_dir: str):
     keyword scoring ``ml/features.py:400-422,514-534``, argmax with
     dictionary-order tie-break and all-zero -> 'other',
     ``core/classifier.py:242-249`` / ``crawler_ray/functions/classify.py``).
-    Counts use one word-bounded alternation per class so Python ``re`` and
-    DuckDB RE2 produce identical match counts.  Output: (doc_id, n_sql,
-    n_streaming, n_ml, doc_class)."""
+    Keywords are counted over ``[a-z0-9_]+`` tokens (tokenize once, count
+    by set membership) so Python ``re`` and DuckDB RE2 produce identical
+    counts regardless of adjacent non-ASCII characters.  Output: (doc_id,
+    n_sql, n_streaming, n_ml, doc_class)."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def classify(t: pa.Table) -> pa.Table:
         texts = [s.lower() for s in t["text"].to_pylist()]
-        counts = {name: [len(rx.findall(s)) for s in texts]
-                  for name, rx in _CLASS_RES.items()}
+        toks = [_WORD_RE.findall(s) for s in texts]
+        counts = {name: [sum(1 for w in ws if w in kws) for ws in toks]
+                  for name, kws in _CLASS_SETS.items()}
         labels = []
         for i in range(len(texts)):
             cs = [(counts[name][i], name) for name in DOC_CLASS_KEYWORDS]

@@ -46,9 +46,11 @@ class PhaseMachine:
 
     @property
     def new_content_pct(self) -> float:
-        if not self.urls_processed:
-            return 100.0
-        return 100.0 * self.urls_new_content / self.urls_processed
+        # The reference divides by max(1, urls_processed)
+        # (``scripts/smart_crawler.py:403-420``): zero processed => 0.0,
+        # so a pure time-threshold trigger still transitions active->steady.
+        return (100.0 * self.urls_new_content
+                / max(1, self.urls_processed))
 
     def record_cycle(self, processed: int, new_content: int) -> None:
         self.urls_processed += processed

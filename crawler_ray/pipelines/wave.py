@@ -65,6 +65,12 @@ CANDIDATE_SCHEMA = pa.schema([
 
 _SEED_PRIORITY = -(1 << 31)  # seeds sort before any real parent
 
+# Bump whenever the on-disk checkpoint layout changes (snapshot file
+# names, spill part-name format, manifest keys): resume from an older
+# checkpoint fails with a clear error instead of a FileNotFoundError /
+# ValueError deep inside the restore path.
+WAVE_MANIFEST_FORMAT = 2
+
 
 def run_wave_mode(engine, resume: bool = False) -> dict:
     import ray
@@ -106,6 +112,12 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
                 break
         if pick is not None:
             last, manifest = pick
+            fmt = manifest.get("format", 1)
+            if fmt != WAVE_MANIFEST_FORMAT:
+                raise ValueError(
+                    f"cannot resume: checkpoint manifest format {fmt} != "
+                    f"engine format {WAVE_MANIFEST_FORMAT} (snapshot/part "
+                    "layout changed between versions; re-run fresh)")
             snap_shards = manifest.get("seen_shards", cfg.seen_shards)
             if snap_shards != cfg.seen_shards:
                 raise ValueError(
@@ -202,7 +214,8 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         snap_dir = os.path.join(wave_dir, "seen_snapshot")
         pool.snapshot(snap_dir)
         with open(os.path.join(wave_dir, "manifest.json"), "w") as f:
-            json.dump({"wave": wave, "frontier_rows": n_frontier,
+            json.dump({"format": WAVE_MANIFEST_FORMAT,
+                       "wave": wave, "frontier_rows": n_frontier,
                        "seen_shards": cfg.seen_shards,
                        "visited_rows": n_ok, "next_frontier_rows": n_next,
                        "sec_wave": round(t_wave, 3),

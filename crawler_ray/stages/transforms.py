@@ -122,11 +122,13 @@ def extract_classify_batch(batch: pa.Table, ner_enabled: bool = False,
                            classify: bool = True,
                            with_links: bool = True) -> pa.Table:
     """The core extraction stage (M5-M13) + keyword classification + raw
-    link extraction (M2) in one pass over each page's HTML — the page is
-    parsed twice (cleaned extraction parse vs raw link parse) exactly as
-    the reference does (``core/content_extractor.py:176`` vs
-    ``core/crawler.py:856``).  html may be null (fetch miss -> fetch_ok
-    False, empty fields)."""
+    link extraction (M2) in one pass over each page's HTML.  The page is
+    parsed ONCE and the tree shared: link extraction (which only reads)
+    runs before the mutating ``extract_page`` — byte-identical to the
+    reference's two separate parses (``core/crawler.py:856`` raw link soup
+    vs ``core/content_extractor.py:176`` cleaned extraction soup) at half
+    the parse cost.  html may be null (fetch miss -> fetch_ok False,
+    empty fields)."""
     import json
 
     urls = batch["url_norm"].to_pylist()
