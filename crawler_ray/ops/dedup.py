@@ -41,6 +41,20 @@ def _rd():
     return rd
 
 
+def _join_partitions(requested: int | None) -> int:
+    """Partition count for hash joins: scale with the cluster.  Join
+    aggregator actors reserve ~0.125 CPU + memory per partition; a fixed
+    large count deadlocks small clusters (two chained 16-partition joins
+    starve a 4-CPU test session), while a fixed small count under-splits
+    at scale.  P = #CPUs keeps each join at ~1/8 of the cluster's CPUs."""
+    if requested is not None:
+        return requested
+    import ray
+    cpus = (ray.cluster_resources().get("CPU", 8)
+            if ray.is_initialized() else 8)
+    return max(2, min(64, int(cpus)))
+
+
 # -- vectorized engine-internal hashing -------------------------------------
 # These hashes only need to be deterministic and well-mixed (the LSH /
 # SimHash outputs are rows-only checked); crc32 (C speed) diffused through
@@ -180,14 +194,21 @@ def minhash_signatures(sf_dir: str, num_perm: int = 128,
 
 def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
                       shingle_k: int = 5, threshold: float = 0.5,
-                      table: str = "documents"):
+                      table: str = "documents",
+                      join_partitions: int | None = None):
     """Near-dup candidate pairs via LSH banding, verified by signature
     agreement (estimated Jaccard).  Returns (doc_a, doc_b,
-    est_jaccard_milli) for pairs >= threshold."""
-    import ray
+    est_jaccard_milli) for pairs >= threshold.
 
+    Scale shape: signatures never land on the driver and are never
+    broadcast — the verify step joins the candidate pairs back to the
+    signature table twice, keyed by doc_id (hash-partitioned
+    ``Dataset.join``), then compares the per-pair signature rows as one
+    (n_pairs, num_perm) numpy equality per batch.  Everything that
+    shuffles is 8-byte ids + one num_perm*8 B signature per side."""
+    join_partitions = _join_partitions(join_partitions)
     rows = num_perm // bands
-    # signatures feed both the banding pass and the verify broadcast —
+    # signatures feed both the banding pass and the verify joins —
     # materialize once (small: num_perm*8 B per doc)
     sig_ds = minhash_signatures(sf_dir, num_perm, shingle_k,
                                 table).materialize()
@@ -216,12 +237,6 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
             "band_hash": pa.array(keys.ravel(), pa.uint64()),
             "doc_id": pa.array(np.repeat(ids, bands), pa.int64())})
 
-    # signatures are small (128*8 B/doc): broadcast for the verify step;
-    # at 10^9-doc scale this becomes a signature re-join keyed by doc_id
-    sig_table = sig_ds.to_pandas()
-    sig_map_ref = ray.put(dict(zip(sig_table["doc_id"],
-                                   sig_table["sig"])))
-
     banded = sig_ds.map_batches(band_explode, batch_format="pyarrow")
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -246,14 +261,14 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "est_jaccard_milli": pa.array([], pa.int64())})
-        sig_map = ray.get(sig_map_ref)
-        doc_a = t["doc_a"].to_pylist()
-        doc_b = t["doc_b"].to_pylist()
-        est = []
-        for a, b in zip(doc_a, doc_b):
-            sa = np.frombuffer(sig_map[a], dtype=np.uint64)
-            sb = np.frombuffer(sig_map[b], dtype=np.uint64)
-            est.append(int((sa == sb).mean() * 1000))
+        # one stacked (n_pairs, num_perm) comparison per batch — no
+        # per-pair Python loop
+        sa = np.frombuffer(b"".join(t["sig_a"].to_pylist()),
+                           dtype=np.uint64).reshape(t.num_rows, num_perm)
+        sb = np.frombuffer(b"".join(t["sig_b"].to_pylist()),
+                           dtype=np.uint64).reshape(t.num_rows, num_perm)
+        matches = (sa == sb).sum(axis=1).astype(np.int64)
+        est = matches * 1000 // num_perm
         out = pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
                         "est_jaccard_milli": pa.array(est, pa.int64())})
         return out.filter(
@@ -265,37 +280,90 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
     from ray.data.aggregate import Count
     uniq = (pairs.groupby(["doc_a", "doc_b"])
             .aggregate(Count(alias_name="n_bands")))
-    return uniq.map_batches(verify, batch_format="pyarrow")
+    # doc_id-keyed signature joins (Dataset.join drops the right key
+    # column, so each join contributes exactly one sig column)
+    with_a = uniq.join(sig_ds, "inner", num_partitions=join_partitions,
+                       on=("doc_a",), right_on=("doc_id",)
+                       ).rename_columns({"sig": "sig_a"})
+    with_b = with_a.join(sig_ds, "inner", num_partitions=join_partitions,
+                         on=("doc_b",), right_on=("doc_id",)
+                         ).rename_columns({"sig": "sig_b"})
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
-def minhash_dedup_keep(sf_dir: str, **kwargs):
+def minhash_dedup_keep(sf_dir: str, max_rounds: int = 64,
+                       join_partitions: int | None = None, **kwargs):
     """Dedup decision from LSH pairs: connected components by iterated
     min-label propagation, keep the min doc_id per component.  Returns
-    (doc_id, keep) for docs that appear in any near-dup pair."""
-    pairs = minhash_lsh_pairs(sf_dir, **kwargs).to_pandas()
-    if pairs.empty:
+    (doc_id, keep) for docs that appear in any near-dup pair.
+
+    Fully distributed — the pair graph never lands on the driver.  Per
+    round: labels join the (directed-both-ways) edge table keyed by node
+    (hash-partitioned ``Dataset.join``), propagated labels union the
+    current ones, and a groupby-min picks each node's new label.  Labels
+    only ever decrease, so the scalar sum of labels strictly decreases
+    until fixpoint — convergence is detected from that one aggregate (the
+    only value the driver sees).  Rounds needed = component diameter in
+    hops (near-dup components are shallow; ``max_rounds`` is a safety
+    backstop, and hitting it raises rather than silently under-merging)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    join_partitions = _join_partitions(join_partitions)
+    pairs = (minhash_lsh_pairs(sf_dir, join_partitions=join_partitions,
+                               **kwargs)
+             .select_columns(["doc_a", "doc_b"]).materialize())
+    if pairs.count() == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "keep": pa.array([], pa.bool_())})
-    # union-find on the driver — candidate set is tiny relative to corpus
-    # (documented assumption; at larger candidate sets use iterated
-    # groupby min-label propagation)
-    parent: dict[int, int] = {}
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
 
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    docs = sorted(parent)
-    return pa.table({
-        "doc_id": pa.array(docs, pa.int64()),
-        "keep": pa.array([find(d) == d for d in docs], pa.bool_()),
-    })
+    edges = pairs.map_batches(both_dirs,
+                              batch_format="pyarrow").materialize()
+
+    # round 0 fused into the node build: label = min(node, min neighbor)
+    def init_label(t: pa.Table) -> pa.Table:
+        lab = np.minimum(t["src"].to_numpy(zero_copy_only=False),
+                         t["min_dst"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": t["src"],
+                         "label": pa.array(lab, pa.int64())})
+
+    labels = (edges.groupby("src")
+              .aggregate(Min("dst", alias_name="min_dst"))
+              .map_batches(init_label,
+                           batch_format="pyarrow").materialize())
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        prop = (edges.join(labels, "inner",
+                           num_partitions=join_partitions,
+                           on=("src",), right_on=("node",))
+                .select_columns(["dst", "label"])
+                .rename_columns({"dst": "node"}))
+        labels = (labels.union(prop).groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_rounds} "
+            "rounds (pathologically deep near-dup chain?)")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["node"],
+            "keep": pc.equal(t["node"], t["label"])})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -388,7 +456,8 @@ _ASCII_WORD_RE = re.compile(r"[a-z0-9_]+")
 
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
                         threshold_milli: int = 500,
-                        table: str = "documents"):
+                        table: str = "documents",
+                        max_gram_df: int | None = None):
     """Exact n-gram Jaccard near-dup pairs (the exact counterpart of the
     MinHash estimate above; D3-family dedup).  Token grams are ASCII
     ``[a-z0-9_]+`` words lowercased (chosen so DuckDB RE2 and Python
@@ -401,10 +470,20 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     aggregate broadcast into the final scoring pass (at 10^9-doc scale
     that broadcast becomes a doc_id-keyed join).  jaccard_milli uses pure
     integer arithmetic ``(c*1000)//(|A|+|B|-c)`` so the oracle hash-matches
-    bit-exactly.  Hot grams (stopword-grams shared by many docs) are the
-    skew risk at scale — the standard mitigation, dropping grams with
-    document frequency above a cap, is exposed via ``max_gram_df`` inside
-    the bucket pass but disabled by default to keep exact semantics."""
+    bit-exactly — up to 64-bit gram-hash collisions: two distinct grams
+    hashing alike inflate an intersection count by one, negligible at
+    tested scale (~2^-64 per gram pair) but a real approximation at
+    10^9-doc corpora; widen the digest if bit-exactness matters there.
+
+    Hot grams (stopword-grams shared by many docs) are the skew risk at
+    scale: a gram in d documents emits d*(d-1)/2 pairs.  ``max_gram_df``
+    caps that — grams whose document frequency exceeds the cap are
+    dropped before pair emission (the per-doc set sizes keep counting
+    them, so scores become a lower bound and a pair overlapping ONLY in
+    hot grams is not emitted).  Default ``None`` keeps exact semantics;
+    the hot-gram set is tiny by construction (at most
+    total_gram_rows/cap grams), so broadcasting it is safe at any
+    corpus size."""
     import ray
     from ray.data.aggregate import Count, Sum
 
@@ -435,6 +514,31 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
              .aggregate(Count(alias_name="n_grams")).to_pandas())
     size_ref = ray.put(dict(zip(sizes["doc_id"].astype(int),
                                 sizes["n_grams"].astype(int))))
+
+    if max_gram_df is not None:
+        # hot-gram skew cap: find grams with df > cap (a tiny set by
+        # definition), broadcast it, filter the exploded rows before any
+        # pair emission — per-doc sizes above stay computed on the FULL
+        # gram sets (documented lower-bound semantics)
+        hot = (exploded.groupby("gram")
+               .aggregate(Count(alias_name="df"))
+               .map_batches(
+                   lambda t: t.filter(pa.compute.greater(
+                       t["df"], max_gram_df)).select(["gram"]),
+                   batch_format="pyarrow")
+               .to_pandas())
+        hot_ref = ray.put(frozenset(int(g) for g in hot["gram"]))
+
+        def drop_hot(t: pa.Table) -> pa.Table:
+            hot_set = ray.get(hot_ref)
+            if not hot_set:
+                return t
+            keep = np.fromiter(
+                (int(g) not in hot_set for g in t["gram"].to_pylist()),
+                dtype=bool, count=t.num_rows)
+            return t.filter(pa.array(keep))
+
+        exploded = exploded.map_batches(drop_hot, batch_format="pyarrow")
 
     def add_bucket(t: pa.Table) -> pa.Table:
         bucket = pa.compute.cast(

@@ -92,3 +92,79 @@ def test_minhash_dedup_keep_components(planted_corpus):
     # in every planted pair the min id is kept, the copy dropped
     for a, b in exact:
         assert km.get(a, True) and km.get(b) is False  # noqa: E712
+
+
+def test_minhash_dedup_keep_chain_components(tmp_path):
+    """Chain-shaped component A~B~C~D~E (adjacent overlap only): min-label
+    propagation needs multiple rounds (component diameter 4) and the pair
+    graph/labels live in datasets end-to-end (no driver union-find).  Every
+    chain member must resolve to the chain minimum; the isolated dup pair
+    must resolve independently."""
+    rng = random.Random(13)
+    # doc i = 5 consecutive 25-token blocks from a 9-block stream:
+    # adjacent docs share 4/5 of their text (shingle jaccard ~0.66),
+    # distance-2 ~0.42 (below threshold after verify), the chain ends
+    # (10 vs 14) share one block (~0.1) — so the component's diameter
+    # forces multiple propagation rounds
+    blocks = [" ".join(rng.choice(VOCAB) for _ in range(25))
+              for _ in range(9)]
+    docs = [(10 + i, " ".join(blocks[i:i + 5])) for i in range(5)]
+    # isolated exact-dup pair far from the chain
+    iso = " ".join(rng.choice(VOCAB) for _ in range(150))
+    docs.append((500, iso))
+    docs.append((501, iso))
+    out = str(tmp_path)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([t for _, t in docs], pa.string())}),
+        os.path.join(out, "documents.parquet"))
+    pairs = dedup.minhash_lsh_pairs(out, threshold=0.5).to_pandas()
+    found = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+    # the chain edges must be present for the component test to mean much
+    assert {(10, 11), (11, 12), (12, 13), (13, 14)} <= found, found
+    assert (500, 501) in found
+    # no chain<->iso edge, and the chain ends don't connect directly
+    assert not any(a < 500 <= b for a, b in found), found
+    assert (10, 14) not in found, found
+    keep = dedup.minhash_dedup_keep(out, threshold=0.5).to_pandas()
+    km = dict(zip(keep["doc_id"].astype(int), keep["keep"].astype(bool)))
+    assert km == {10: True, 11: False, 12: False, 13: False, 14: False,
+                  500: True, 501: False}
+
+
+def test_ngram_max_gram_df_caps_hot_grams(tmp_path):
+    """A stopword-gram shared by every doc must not drive O(n^2) pair
+    emission when the cap is on: docs overlapping ONLY in the hot gram
+    produce no pair, while genuinely-duplicate docs still score."""
+    hot = "lorem ipsum dolor"  # one 3-gram present in every doc
+    docs = []
+    for i in range(20):
+        filler = " ".join(f"unique{i}w{j}" for j in range(30))
+        docs.append((i, f"{hot} {filler}"))
+    # one true dup pair
+    docs.append((100, docs[0][1]))
+    out = str(tmp_path)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([t for _, t in docs], pa.string())}),
+        os.path.join(out, "documents.parquet"))
+    # exact mode: the hot gram alone scores well under the threshold, but
+    # it IS counted (doc 0 vs doc 100 share everything -> 1000)
+    exact = dedup.ngram_jaccard_pairs(out, threshold_milli=10).to_pandas()
+    exact_pairs = set(zip(exact["doc_a"].astype(int),
+                          exact["doc_b"].astype(int)))
+    assert (0, 100) in exact_pairs
+    # every doc pair shares >= the hot grams -> O(n^2) low-score pairs
+    assert len(exact_pairs) > 100
+    # capped mode: grams in more than 3 docs are dropped before pair
+    # emission -> only the true dup pair survives, even at threshold 10
+    capped = dedup.ngram_jaccard_pairs(out, threshold_milli=10,
+                                       max_gram_df=3).to_pandas()
+    capped_pairs = set(zip(capped["doc_a"].astype(int),
+                           capped["doc_b"].astype(int)))
+    assert capped_pairs == {(0, 100)}, capped_pairs
+    # the dup pair's score is a lower bound (hot grams stay in the
+    # denominator sizes but not the intersection)
+    score = int(capped.set_index(["doc_a", "doc_b"])
+                .loc[(0, 100), "jaccard_milli"])
+    assert score < 1000
