@@ -27,15 +27,37 @@ def _rd():
     return rd
 
 
-def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist())
-    take = np.argsort(ids)[:n_queries]
-    q = np.stack([np.asarray(t["embedding"].to_pylist()[i])
-                  for i in take]).astype(np.float64)
+def _load_queries(sf_dir: str,
+                  n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Query set = the ``n_queries`` smallest vec_ids.  Scale shape: the
+    ids are found by a distributed per-batch min-k combiner (the driver
+    sees at most n_queries rows per batch, never the table), then the
+    query vectors come from ONE pruned point read — row groups selected
+    by the [min, max] range conjunct + isin, same trick as the corpus
+    store's fetch join (``sources/corpus_store.py``)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def batch_min_k(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["vec_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"vec_id": pa.array(ids[:n_queries], pa.int64())})
+
+    cand = (_rd().read_parquet(path, columns=["vec_id"])
+            .map_batches(batch_min_k, batch_format="pyarrow").to_pandas())
+    qids = np.sort(cand["vec_id"].to_numpy())[:n_queries].astype(np.int64)
+
+    filt = ((pc.field("vec_id") >= int(qids.min()))
+            & (pc.field("vec_id") <= int(qids.max()))
+            & pc.field("vec_id").isin([int(x) for x in qids]))
+    t = pads.dataset(path, format="parquet").to_table(
+        columns=["vec_id", "embedding"], filter=filt)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    q = np.stack(t["embedding"].to_pylist()).astype(np.float64)[order]
     q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    return ids[take], q
+    return ids[order], q
 
 
 def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 4):
@@ -82,12 +104,40 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 4):
 
 
 def ivf_build_centroids(sf_dir: str, n_centroids: int = 16,
-                        iters: int = 10, seed: int = 7) -> np.ndarray:
-    """Deterministic mini k-means on the (small) embeddings sample —
+                        iters: int = 10, seed: int = 7,
+                        sample_per_centroid: int = 256) -> np.ndarray:
+    """Deterministic mini k-means on a bounded embeddings sample —
     mirrors the reference's pattern of running sklearn DBSCAN driver-side
-    on collected features (``core/structure_discovery.py:856-944``)."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    on collected features (``core/structure_discovery.py:856-944``), but
+    the driver never holds more than ``n_centroids * sample_per_centroid``
+    vectors: when the table is larger, rows are picked by a deterministic
+    vec_id hash threshold (partitioning-invariant — no RNG over row
+    order), filtered distributed, and only the sample is collected."""
+    import pyarrow.dataset as pads
+
+    path = f"{sf_dir}/embeddings.parquet"
+    target = n_centroids * sample_per_centroid
+    n_rows = pads.dataset(path, format="parquet").count_rows()
+    if n_rows <= target:
+        t = pq.read_table(path, columns=["embedding"])
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    else:
+        # keep vec_ids whose splitmix64 hash falls under the sampling
+        # threshold — oversample slightly so the truncation below is
+        # deterministic even if the hash rate lands a little low
+        from crawler_ray.ops.dedup import _splitmix64
+        thresh = np.uint64(int((1 << 64) * min(1.0, 1.25 * target
+                                               / n_rows)))
+
+        def sample(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            h = _splitmix64(ids.astype(np.uint64))
+            return t.filter(pa.array(h < thresh))
+
+        st = (_rd().read_parquet(path, columns=["vec_id", "embedding"])
+              .map_batches(sample, batch_format="pyarrow").to_pandas())
+        st = st.sort_values("vec_id").head(target)
+        mat = np.stack(st["embedding"].to_numpy()).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=n_centroids, replace=False)]

@@ -427,51 +427,63 @@ class _ExtractFn:
             "wave", pa.array([self.wave] * out.num_rows, pa.int32()))
 
 
+_EXPLODED_SCHEMA = pa.schema([
+    ("link", pa.string()), ("link_index", pa.int32()),
+    ("parent_url", pa.string()), ("parent_host", pa.string()),
+    ("parent_priority", pa.int32()), ("cand_depth", pa.int32()),
+    ("fixed_job_type", pa.string()), ("bypass_host", pa.bool_()),
+])
+
+
 def _explode_links(t: pa.Table) -> pa.Table:
     """(page row, links list) -> one candidate row per link with the
     first-discoverer tie-break key (parent_priority, parent_url,
-    link_index)."""
-    links_col = t["links"].to_pylist()
-    ok = t["fetch_ok"].to_pylist()
-    parents = t["url_norm"].to_pylist()
-    hosts = t["host"].to_pylist()
-    depths = t["depth"].to_pylist()
-    jts = t["job_type"].to_pylist()
-    prios = t["priority"].to_pylist()
-    sm_kinds = t["sm_kind"].to_pylist()
+    link_index).  Fully vectorized: Arrow ``list_flatten`` for the link
+    values, numpy repeat/arange for the per-link row indices — no per-row
+    Python loop on the wave hot path."""
+    import pyarrow.compute as pc
 
-    out = {"link": [], "link_index": [], "parent_url": [],
-           "parent_host": [], "parent_priority": [], "cand_depth": [],
-           "fixed_job_type": [], "bypass_host": []}
-    for i in range(t.num_rows):
-        if not ok[i] or not links_col[i]:
-            continue
-        if jts[i] == "sitemap":
-            fixed = "sitemap" if sm_kinds[i] == "index" else "page"
-            depth = depths[i] + 1 if fixed == "sitemap" else 0
-            bypass = True
-        else:
-            fixed = ""
-            depth = depths[i] + 1
-            bypass = False
-        for j, link in enumerate(links_col[i]):
-            out["link"].append(link)
-            out["link_index"].append(j)
-            out["parent_url"].append(parents[i])
-            out["parent_host"].append(hosts[i])
-            out["parent_priority"].append(prios[i])
-            out["cand_depth"].append(depth)
-            out["fixed_job_type"].append(fixed)
-            out["bypass_host"].append(bypass)
+    n_links = pc.fill_null(pc.list_value_length(t["links"]), 0)
+    keep = pc.and_(pc.fill_null(t["fetch_ok"], False),
+                   pc.greater(n_links, 0))
+    t = t.filter(keep)
+    if t.num_rows == 0:
+        return _EXPLODED_SCHEMA.empty_table()
+
+    links = t["links"].combine_chunks()
+    flat = pc.list_flatten(links)
+    lengths = pc.list_value_length(links).to_numpy(zero_copy_only=False)
+    lengths = lengths.astype(np.int64)
+    total = int(lengths.sum())
+    # position within each parent's list = global arange - list start
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    link_index = (np.arange(total, dtype=np.int64)
+                  - np.repeat(starts, lengths)).astype(np.int32)
+    row_idx = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                                 lengths))
+
+    # per-row derived fields (vectorized over rows, then repeated)
+    is_sm = np.asarray(pc.equal(t["job_type"], "sitemap")
+                       .fill_null(False))
+    sm_index = np.asarray(pc.equal(t["sm_kind"], "index")
+                          .fill_null(False))
+    depths = t["depth"].to_numpy(zero_copy_only=False).astype(np.int64)
+    fixed_row = np.where(is_sm, np.where(sm_index, "sitemap", "page"), "")
+    depth_row = np.where(is_sm & ~sm_index, 0, depths + 1)
+
     return pa.table({
-        "link": pa.array(out["link"], pa.string()),
-        "link_index": pa.array(out["link_index"], pa.int32()),
-        "parent_url": pa.array(out["parent_url"], pa.string()),
-        "parent_host": pa.array(out["parent_host"], pa.string()),
-        "parent_priority": pa.array(out["parent_priority"], pa.int32()),
-        "cand_depth": pa.array(out["cand_depth"], pa.int32()),
-        "fixed_job_type": pa.array(out["fixed_job_type"], pa.string()),
-        "bypass_host": pa.array(out["bypass_host"], pa.bool_()),
+        "link": flat.cast(pa.string()),
+        "link_index": pa.array(link_index, pa.int32()),
+        "parent_url": pc.take(t["url_norm"], row_idx),
+        "parent_host": pc.take(t["host"], row_idx),
+        "parent_priority": pc.take(t["priority"], row_idx)
+        .cast(pa.int32()),
+        "cand_depth": pa.array(
+            np.repeat(depth_row, lengths).astype(np.int32), pa.int32()),
+        "fixed_job_type": pa.array(np.repeat(fixed_row, lengths),
+                                   pa.string()),
+        "bypass_host": pa.array(np.repeat(is_sm, lengths), pa.bool_()),
     })
 
 

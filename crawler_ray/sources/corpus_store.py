@@ -31,9 +31,6 @@ import pyarrow.parquet as pq
 
 __all__ = ["CorpusStore", "bucket_of_url", "host_bucket_of_url"]
 
-_FETCH_COLS = ["url", "html"]
-
-
 def bucket_of_url(url: str, num_buckets: int) -> int:
     return int.from_bytes(hashlib.sha1(url.encode()).digest()[:8],
                           "big") % num_buckets
@@ -247,75 +244,8 @@ class CorpusStore:
     def bucket_for_url(self, url: str) -> int:
         return host_bucket_of_url(url, self.num_buckets)
 
-    def fetch_local(self, urls: list[str],
-                    columns: list[str] = tuple(_FETCH_COLS)) -> pa.Table:
-        """Serial fetch of ``urls`` (oracle / small-batch path).  Returns
-        one row per requested URL in request order; misses get null html."""
-        by_bucket: dict[int, list[str]] = {}
-        for u in urls:
-            by_bucket.setdefault(self.bucket_for_url(u), []).append(u)
-        found: dict[str, dict] = {}
-        for b, bucket_urls in by_bucket.items():
-            ds = pads.dataset(self.bucket_path(b), format="parquet")
-            t = ds.to_table(columns=list(columns),
-                            filter=_pruning_url_filter(bucket_urls))
-            for row in t.to_pylist():
-                found[row["url"]] = row
-        out = {c: [] for c in columns}
-        for u in urls:
-            row = found.get(u)
-            for c in columns:
-                out[c].append(u if c == "url" else
-                              (row.get(c) if row else None))
-        schema_map = {f.name: f.type
-                      for f in pads.dataset(self.bucket_path(0),
-                                            format="parquet").schema}
-        arrays = [pa.array(out[c], type=schema_map.get(c)) for c in columns]
-        return pa.Table.from_arrays(arrays, names=list(columns))
-
-    def fetch_join(self, frontier_ds, columns: list[str] = tuple(_FETCH_COLS),
-                   keep_cols: list[str] | None = None):
-        """Distributed fetch join: frontier Dataset -> Dataset with corpus
-        columns appended (misses -> null html + status_code 404).
-
-        The frontier gets a bucket column and is shuffled by bucket (tiny
-        rows); each bucket group reads only its own bucket files with an
-        ``isin`` filter (row groups pruned via url min/max stats).
-        """
-        import pandas as pd
-
-        root = self.root
-        num_buckets = self.num_buckets
-        cols = [c for c in columns if c != "url"]
-
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            if "host_hash" in batch.column_names:
-                import numpy as np
-                hh = batch["host_hash"].to_numpy(zero_copy_only=False)
-                b = pa.array((hh % np.uint64(num_buckets)).astype("int32"),
-                             pa.int32())
-            else:
-                urls = batch["url_norm"].to_pylist()
-                b = pa.array(
-                    [host_bucket_of_url(u, num_buckets) for u in urls],
-                    pa.int32())
-            return batch.append_column("fetch_bucket", b)
-
-        def fetch_group(group: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(group["fetch_bucket"].iloc[0])
-            path = os.path.join(root, f"bucket={bucket:04d}")
-            ds = pads.dataset(path, format="parquet")
-            urls = group["url_norm"].tolist()
-            t = ds.to_table(columns=["url"] + cols,
-                            filter=_pruning_url_filter(urls))
-            corpus_df = t.to_pandas().rename(columns={"url": "url_norm"})
-            merged = group.merge(corpus_df, on="url_norm", how="left")
-            merged["status_code"] = [
-                200 if ok else 404
-                for ok in merged[cols[0]].notna()
-            ] if cols else 200
-            return merged.drop(columns=["fetch_bucket"])
-
-        ds = frontier_ds.map_batches(add_bucket, batch_format="pyarrow")
-        return ds.groupby("fetch_bucket").map_groups(
-            fetch_group, batch_format="pandas")
+    # NB: the live fetch paths are ``pipelines/wave.py:_FetchFn`` (per-batch
+    # pruned bucket reads inside the wave pipeline) and
+    # ``pipelines/crawl.py:_process_bucket`` (strict replay); earlier
+    # ``fetch_local``/``fetch_join`` convenience wrappers were removed as
+    # dead code (and fetch_join round-tripped binary html through pandas).
