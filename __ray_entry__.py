@@ -136,6 +136,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": textstats.text_quality,
         "fingerprints": textstats.fingerprints,
         "classify_docs": textstats.classify_docs,
+        # model-backed variant: seeded TF-IDF + softmax artifact trained
+        # on first use, newest-by-mtime discovery (F6/O8); rows-only
+        # (TF-IDF + logistic head is not SQL-expressible), determinism
+        # and quality pytest-pinned in tests/test_ml_training.py
+        "classify_docs_model": textstats.classify_docs_model,
         "curate_corpus": textstats.curate_corpus,
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,

@@ -18,8 +18,14 @@ container, so this module makes the *feature* layer the classifier:
   (reference sorts predictions by probability,
   ``core/classifier.py:242-243``).
 
-The sklearn model path is intentionally stubbed: loading a pickled model
-raises ``NotImplementedError`` with a pointer here.
+The model-backed path lives in ``crawler_ray/ml``: TF-IDF features
+(``ml/features.py:197-265``), seeded offline training
+(``ml/training/train_content_model.py`` / ``train_domain_model.py``) and
+newest-artifact discovery (``core/classifier.py:154-179``) are all
+re-derived sklearn-free (numpy logistic heads, ``.npz`` artifacts);
+``KeywordClassifier`` loads those artifacts when paths are given and
+falls back to this keyword scorer otherwise — the same fallback the
+reference takes when no ``.pkl`` exists.
 """
 
 from __future__ import annotations
@@ -224,26 +230,42 @@ def classify_text(text: str) -> dict:
 class KeywordClassifier:
     """Callable-class form for ``map_batches(KeywordClassifier, ...)`` actor
     pools (mirrors the reference's singleton ``TextClassifier``,
-    ``core/classifier.py:391-464``, loaded once per worker).  With keyword
-    dictionaries the state is tiny, but model-backed replacements slot in
-    here (load in ``__init__``, score in ``__call__``)."""
+    ``core/classifier.py:391-464``, loaded once per worker).
 
-    def __init__(self, model_path: str | None = None):
-        if model_path is not None:
-            raise NotImplementedError(
-                "pickled sklearn models are not supported in this "
-                "environment; the keyword scorer in "
-                "crawler_ray/functions/classify.py is the deterministic "
-                "default (see module docstring)")
+    Without model paths this is the keyword scorer (the reference's
+    behavior when no ``.pkl`` artifact exists,
+    ``core/classifier.py:181-187``).  With ``content_model_path`` /
+    ``domain_model_path`` pointing at trained ``.npz`` artifacts
+    (``crawler_ray/ml``), content_type comes from the softmax head and
+    domains from the one-vs-rest sigmoid head — loaded ONCE per actor in
+    ``__init__``, exactly the reference's predict flow
+    (``core/classifier.py:268-293``) re-expressed without pickle."""
+
+    def __init__(self, content_model_path: str | None = None,
+                 domain_model_path: str | None = None):
+        self.content_model = None
+        self.domain_model = None
+        if content_model_path is not None:
+            from crawler_ray.ml.model import load_model
+            self.content_model = load_model(content_model_path)
+        if domain_model_path is not None:
+            from crawler_ray.ml.model import load_model
+            self.domain_model = load_model(domain_model_path)
 
     def __call__(self, batch):
         import pyarrow as pa
-        texts = batch["content"].to_pylist()
-        types, domains = [], []
-        for t in texts:
-            result = classify_text(t or "")
-            types.append(result["content_type"]["content_type"])
-            domains.append(result["domains"]["domains"])
+        texts = [t or "" for t in batch["content"].to_pylist()]
+        if self.content_model is None or self.domain_model is None:
+            # one keyword pass covers both missing heads
+            kw = [classify_text(t) for t in texts]
+        if self.content_model is not None:
+            types = self.content_model.predict_label(texts)
+        else:
+            types = [r["content_type"]["content_type"] for r in kw]
+        if self.domain_model is not None:
+            domains = self.domain_model.predict_multilabel(texts)
+        else:
+            domains = [r["domains"]["domains"] for r in kw]
         return batch.append_column(
             "content_type", pa.array(types, type=pa.string())
         ).append_column(

@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["token_counts", "lang_id", "text_quality", "fingerprints",
-           "classify_docs", "curate_corpus"]
+           "classify_docs", "classify_docs_model", "curate_corpus"]
 
 _TOKEN_RE = re.compile(r"\S+")
 _ARABIC_RE = re.compile("[؀-ۿ]")
@@ -198,6 +198,35 @@ def classify_docs(sf_dir: str):
                          "doc_class": pa.array(labels, pa.string())})
 
     return ds.map_batches(classify, batch_format="pyarrow")
+
+
+def classify_docs_model(sf_dir: str, model_dir: str | None = None,
+                        seed: int = 42):
+    """Model-backed document classification (F6/O8 end-to-end): a seeded
+    TF-IDF + softmax artifact is trained on first use
+    (``crawler_ray/ml/training.py:train_doc_class_model``, deterministic
+    under the fixed seed), discovered newest-by-mtime exactly like the
+    reference (``core/classifier.py:154-179``), and applied as an
+    actor-pool ``map_batches`` stage (model loaded once per actor).
+    Output: (doc_id, pred_class).  Not SQL-expressible (rows-only in the
+    driver gate); prediction quality and determinism are pytest-pinned
+    in ``tests/test_ml_training.py``."""
+    from crawler_ray.ml.model import ModelClassifier, find_latest_model
+    from crawler_ray.ml.training import train_doc_class_model
+
+    model_dir = model_dir or "/tmp/crawler_ray_models"
+    prefix = "doc_class_classifier_"
+    if find_latest_model(model_dir, prefix) is None:
+        train_doc_class_model(model_dir, seed=seed)
+    path = find_latest_model(model_dir, prefix)
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(
+        ModelClassifier, batch_format="pyarrow", batch_size=256,
+        concurrency=(2, 8),
+        fn_constructor_kwargs={"model_path": path},
+    ).select_columns(["doc_id", "pred_class"])
 
 
 def curate_corpus(sf_dir: str, min_words: int = 30):
