@@ -100,6 +100,24 @@ def _crawl_host_rates(sf_dir: str):
     return ds.groupby("host").map_groups(per_host, batch_format="pandas")
 
 
+def _crawl_experts(sf_dir: str):
+    """Expert entities from the crawled corpus (reference
+    database/schema.py:48-61; rows-only — input is the crawl output)."""
+    from crawler_ray.ops.entities import experts_table
+
+    summary = _crawl_summary()
+    return experts_table(summary["content_items"])
+
+
+def _crawl_domain_content(sf_dir: str):
+    """content<->domain link rows from the crawled corpus (reference
+    database/schema.py:79-90, relevance 0.8 default; rows-only)."""
+    from crawler_ray.ops.entities import domain_content_table
+
+    summary = _crawl_summary()
+    return domain_content_table(summary["content_items"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.ops import dedup, discovery, multimodal, relational
     from crawler_ray.ops import similarity, textstats, urls_jobs
@@ -119,6 +137,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_events": relational.user_top_events,
         "clicks_asof_views": relational.clicks_asof_views,
         "error_recent_activity": relational.error_recent_activity,
+        # scored M2M link tables (reference database/schema.py:79-102:
+        # domain_content relevance + expert_domain confidence)
+        "domain_content_links": relational.domain_content_links,
+        "expert_domain_links": relational.expert_domain_links,
         # dedup family (D1-D3 + training-data dedup)
         "exact_dedup": dedup.exact_dedup,
         "similarity_dedup": dedup.similarity_dedup,
@@ -157,6 +179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trace": _crawl_trace,
         "crawl_content_items": _crawl_content_items,
         "crawl_host_rates": _crawl_host_rates,
+        # entity surface over the crawl output (experts/answers/link
+        # tables; semantics pytest-pinned in tests/test_entities.py)
+        "crawl_experts": _crawl_experts,
+        "crawl_domain_content": _crawl_domain_content,
     }
 
 
@@ -290,6 +316,77 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = e.user_id
              AND a.ts >= e.ts - INTERVAL 5 MINUTE AND a.ts < e.ts
             GROUP BY e.event_id, e.user_id, e.ts
+        """,
+        "domain_content_links": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS w
+                FROM documents
+            ), counts AS (
+                SELECT d.doc_id,
+                    CAST(COALESCE(SUM(CASE WHEN w IN ('query','table',
+                        'join','scan','filter','sort') THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS n_sql,
+                    CAST(COALESCE(SUM(CASE WHEN w IN ('stream','window',
+                        'watermark','event','batch','state')
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_streaming,
+                    CAST(COALESCE(SUM(CASE WHEN w IN ('vector','model',
+                        'train','embed','feature','label')
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ml
+                FROM documents d LEFT JOIN toks USING (doc_id)
+                GROUP BY d.doc_id)
+            SELECT doc_id AS content_id,
+                   CASE WHEN n_sql >= n_streaming AND n_sql >= n_ml
+                             THEN 'sql'
+                        WHEN n_streaming >= n_ml THEN 'streaming'
+                        ELSE 'ml' END AS domain,
+                   (GREATEST(n_sql, n_streaming, n_ml) * 1000)
+                       // (n_sql + n_streaming + n_ml) AS relevance_milli
+            FROM counts WHERE n_sql + n_streaming + n_ml > 0
+        """,
+        "expert_domain_links": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+')) AS w
+                FROM documents
+            ), counts AS (
+                SELECT d.doc_id,
+                    CAST(COALESCE(SUM(CASE WHEN w IN ('query','table',
+                        'join','scan','filter','sort') THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS n_sql,
+                    CAST(COALESCE(SUM(CASE WHEN w IN ('stream','window',
+                        'watermark','event','batch','state')
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_streaming,
+                    CAST(COALESCE(SUM(CASE WHEN w IN ('vector','model',
+                        'train','embed','feature','label')
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ml
+                FROM documents d LEFT JOIN toks USING (doc_id)
+                GROUP BY d.doc_id
+            ), classed AS (
+                SELECT doc_id AS content_id,
+                       CASE WHEN n_sql >= n_streaming AND n_sql >= n_ml
+                                 THEN 'sql'
+                            WHEN n_streaming >= n_ml THEN 'streaming'
+                            ELSE 'ml' END AS domain
+                FROM counts WHERE n_sql + n_streaming + n_ml > 0
+            ), answers AS (
+                SELECT o_custkey AS expert_id,
+                       o_orderkey % (SELECT COUNT(*) FROM documents)
+                           AS content_id
+                FROM orders
+            ), gc AS (
+                SELECT expert_id, domain, COUNT(*) AS n_answers
+                FROM answers JOIN classed USING (content_id)
+                GROUP BY expert_id, domain
+            ), tot AS (
+                SELECT expert_id, CAST(SUM(n_answers) AS BIGINT) AS total
+                FROM gc GROUP BY expert_id
+            )
+            SELECT g.expert_id, g.domain, g.n_answers,
+                   (g.n_answers * 1000) // t.total AS confidence_milli
+            FROM gc g JOIN tot t USING (expert_id)
         """,
         "ngram_jaccard_pairs": """
             WITH toks AS (

@@ -55,6 +55,28 @@ def _join_partitions(requested: int | None) -> int:
     return max(2, min(64, int(cpus)))
 
 
+def _join_ready(ds, schema: pa.Schema):
+    """Materialize an aggregate output and strip its schema-less empty
+    blocks before feeding a ``Dataset.join``.  Ray's groupby-aggregate
+    emits zero-row blocks with NO schema for empty hash partitions, and
+    ``map_batches`` passes empty blocks through without invoking the UDF
+    (so they cannot be re-schema'd in-stream); a join aggregator that
+    receives one fails inside ``pyarrow.Table.join`` with 'No match ...
+    for key field reference'.  Dropping the empty blocks (their row
+    contribution is nil) leaves every block carrying the real schema.
+    The materialize is not an extra barrier in practice — the aggregate
+    itself is already an all-to-all fence."""
+    import ray.data as rd
+    mat = ds.materialize()
+    refs = [block_ref
+            for bundle in mat.iter_internal_ref_bundles()
+            for block_ref, meta in bundle.blocks
+            if (meta.num_rows or 0) > 0]
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)
+
+
 # -- vectorized engine-internal hashing -------------------------------------
 # These hashes only need to be deterministic and well-mixed (the LSH /
 # SimHash outputs are rows-only checked); crc32 (C speed) diffused through
@@ -278,8 +300,19 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
     # dedupe candidate pairs discovered by multiple bands BEFORE the
     # (more expensive) verification
     from ray.data.aggregate import Count
-    uniq = (pairs.groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="n_bands")))
+    uniq = _join_ready(
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands")),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("n_bands", pa.int64())]))
+    # Dataset.join breaks on an empty side (no shards shuffled -> the
+    # aggregator joins a schema-less table); zero candidates means zero
+    # verified pairs, so short-circuit
+    if uniq.count() == 0:
+        return _rd().from_arrow(pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "est_jaccard_milli": pa.array([], pa.int64())}))
     # doc_id-keyed signature joins (Dataset.join drops the right key
     # column, so each join contributes exactly one sig column)
     with_a = uniq.join(sig_ds, "inner", num_partitions=join_partitions,
@@ -335,10 +368,13 @@ def minhash_dedup_keep(sf_dir: str, max_rounds: int = 64,
         return pa.table({"node": t["src"],
                          "label": pa.array(lab, pa.int64())})
 
-    labels = (edges.groupby("src")
-              .aggregate(Min("dst", alias_name="min_dst"))
-              .map_batches(init_label,
-                           batch_format="pyarrow").materialize())
+    label_schema = pa.schema([("node", pa.int64()),
+                              ("label", pa.int64())])
+    labels = _join_ready(
+        edges.groupby("src")
+        .aggregate(Min("dst", alias_name="min_dst"))
+        .map_batches(init_label, batch_format="pyarrow"),
+        label_schema)
     prev_sum = labels.sum("label")
     for _ in range(max_rounds):
         prop = (edges.join(labels, "inner",
@@ -346,9 +382,10 @@ def minhash_dedup_keep(sf_dir: str, max_rounds: int = 64,
                            on=("src",), right_on=("node",))
                 .select_columns(["dst", "label"])
                 .rename_columns({"dst": "node"}))
-        labels = (labels.union(prop).groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
-                  .materialize())
+        labels = _join_ready(
+            labels.union(prop).groupby("node")
+            .aggregate(Min("label", alias_name="label")),
+            label_schema)
         s = labels.sum("label")
         if s == prev_sum:
             break

@@ -26,6 +26,7 @@ __all__ = [
     "brand_revenue", "region_customers", "events_tumbling_window",
     "sessionize", "customers_no_orders", "user_top_events",
     "clicks_asof_views", "error_recent_activity",
+    "domain_content_links", "expert_domain_links",
 ]
 
 
@@ -412,3 +413,108 @@ def error_recent_activity(sf_dir: str, window_minutes: int = 5):
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pandas")
+
+
+def domain_content_links(sf_dir: str):
+    """The reference's scored content<->domain M2M link table
+    (``database/schema.py:79-90`` ``domain_content``;
+    ``core/storage.py:213-240`` creates one row per (content, domain)
+    with a relevance score).  Re-expressed over the documents table:
+    domain = the keyword-argmax class (same tie-break as classify_docs),
+    relevance_milli = winning-count share of all keyword hits (pure
+    integer arithmetic so the DuckDB twin hash-matches); docs with no
+    keyword hits have no domain rows, exactly like the reference's
+    store path when the classifier returns no domains.
+    Output: (content_id, domain, relevance_milli)."""
+    from crawler_ray.ops.textstats import _CLASS_SETS, _WORD_RE
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    names = list(_CLASS_SETS)
+
+    def link(t: pa.Table) -> pa.Table:
+        toks = [_WORD_RE.findall(s.lower())
+                for s in t["text"].to_pylist()]
+        counts = np.array(
+            [[sum(1 for w in ws if w in _CLASS_SETS[n]) for n in names]
+             for ws in toks], dtype=np.int64).reshape(len(toks),
+                                                      len(names))
+        total = counts.sum(axis=1)
+        keep = total > 0
+        best = counts.argmax(axis=1)  # first max wins = dict order
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        bc = counts[keep, best[keep]]
+        return pa.table({
+            "content_id": pa.array(ids, pa.int64()),
+            "domain": pa.array([names[b] for b in best[keep]],
+                               pa.string()),
+            "relevance_milli": pa.array(bc * 1000 // total[keep],
+                                        pa.int64())})
+
+    return ds.map_batches(link, batch_format="pyarrow")
+
+
+def expert_domain_links(sf_dir: str, join_partitions: int | None = None):
+    """The reference's scored expert<->domain M2M link table
+    (``database/schema.py:92-102`` ``expert_domain``: confidence per
+    (expert, domain)).  Experts/answers are derived deterministically
+    from the relational tables (experts = customers, answers = orders,
+    answered content = o_orderkey mod #documents) so a DuckDB twin can
+    replay it; per-domain confidence = the expert's answer share in that
+    domain (integer milli).
+
+    Plan shape: answers join the per-doc domain table keyed by doc_id
+    (hash-partitioned ``Dataset.join`` — no broadcast of a #docs-sized
+    map), per-(expert, domain) counts and per-expert totals are two
+    small aggregates joined back on expert_id.
+    Output: (expert_id, domain, n_answers, confidence_milli)."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count, Sum
+
+    from crawler_ray.ops.dedup import _join_partitions, _join_ready
+    jp = _join_partitions(join_partitions)
+
+    n_docs = pads.dataset(f"{sf_dir}/documents.parquet",
+                          format="parquet").count_rows()
+    classed = domain_content_links(sf_dir).select_columns(
+        ["content_id", "domain"])
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+
+    def to_answers(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "expert_id": t["o_custkey"].cast(pa.int64()),
+            "content_id": pa.array(keys % n_docs, pa.int64())})
+
+    answers = orders.map_batches(to_answers, batch_format="pyarrow")
+    ad = answers.join(classed, "inner", num_partitions=jp,
+                      on=("content_id",))
+    gc = _join_ready(
+        ad.groupby(["expert_id", "domain"])
+        .aggregate(Count(alias_name="n_answers")),
+        pa.schema([("expert_id", pa.int64()), ("domain", pa.string()),
+                   ("n_answers", pa.int64())]))
+    tot = _join_ready(
+        gc.groupby("expert_id").aggregate(
+            Sum("n_answers", alias_name="total")),
+        pa.schema([("expert_id", pa.int64()),
+                   ("total", pa.int64())]))
+    out_schema = pa.schema(
+        [("expert_id", pa.int64()), ("domain", pa.string()),
+         ("n_answers", pa.int64()), ("confidence_milli", pa.int64())])
+    if gc.count() == 0:
+        return _rd().from_arrow(out_schema.empty_table())
+    joined = gc.join(tot, "inner", num_partitions=jp,
+                     on=("expert_id",))
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t["n_answers"].to_numpy(zero_copy_only=False)
+        total = t["total"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "expert_id": t["expert_id"], "domain": t["domain"],
+            "n_answers": t["n_answers"],
+            "confidence_milli": pa.array(n * 1000 // total, pa.int64())})
+
+    return joined.map_batches(score, batch_format="pyarrow")
