@@ -84,6 +84,9 @@ class CrawlConfig:
     target_block_size: int = 2 * 1024 * 1024
     seen_shards: int = 4             # wave mode: URL-seen actor shards
     seen_mode: str = "exact"         # 'exact' | 'bloom' | 'cuckoo'
+    # mega-host commit range-split: hosts with more admitted rows than
+    # this per wave sort+stamp in parallel segments (identical vts)
+    host_split_threshold: int | None = 200_000
     checkpoint_every: int = 5        # strict rounds between snapshots
     # internal wave-mode knobs used by the strict prefetch
     spill_links: bool = False        # also spill (url, links) side parts

@@ -89,7 +89,8 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
     ctx.target_max_block_size = cfg.target_block_size
 
     pool = AdmissionPool(num_shards=cfg.seen_shards, mode=cfg.seen_mode,
-                         robots=robots, default_delay=cfg.default_delay)
+                         robots=robots, default_delay=cfg.default_delay,
+                         host_split_threshold=cfg.host_split_threshold)
     metrics = make_metrics_actor()
     stats = {"waves": 0, "visited": 0, "admitted": 0, "fetch_misses": 0}
 

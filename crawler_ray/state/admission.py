@@ -29,12 +29,14 @@ snapshot time), giving the same per-wave lineage/resume as before.
 Mega-host skew: extraction/fetch parallelism is host-independent (fused
 map tasks over fixed-size batches — the salted-repartition effect the
 north rule asks for, by construction), but a host's COMMIT (sort + vts
-stamping of its admitted rows) is serial within its shard.  At sandbox
-scales that sort is microseconds; at 10^10-frontier scale a mega-host's
-per-wave commit would be range-split by priority segments — each segment
-stamped with ``base + offset_of_segment + i*delay`` so rank arithmetic
-(and therefore vts values) is unchanged — before parallelizing across
-helper tasks.  Documented here as the designated extension point.
+stamping of its admitted rows) would be serial within its shard.  Hosts
+whose admitted row count exceeds ``host_split_threshold`` are therefore
+range-split by (priority, url_norm) segments (split points sampled
+deterministically) and each segment sorts + stamps in its own Ray helper
+task with ``vts = base + (segment_offset + i) * delay`` — rank arithmetic
+is unchanged, so the stamps are bit-identical to the serial path
+(``tests/test_state.py`` pins that equality and the conformance suite
+runs with the split forced on).
 """
 
 from __future__ import annotations
@@ -60,19 +62,70 @@ FRONTIER_FIELDS = [
 ]
 
 
+def _sort_rank_segment(rows: list[tuple]) -> list[tuple]:
+    """Sort one (priority, url_norm) range segment of a mega-host's
+    admitted rows.  Pure function so it runs identically inline or as a
+    Ray helper task."""
+    rows.sort(key=lambda r: (r[6], r[0]))
+    return rows
+
+
+def _stamp_host_rows(hrows: list[tuple], base: float, delay: float,
+                     split_threshold: int | None,
+                     use_ray: bool) -> list[tuple]:
+    """Stamp ``fetch_vts = base + rank * delay`` over the host's rows
+    ranked by (priority, url_norm).  Below the threshold: one serial
+    sort.  Above it: range-split into contiguous (priority, url_norm)
+    segments via deterministically sampled split points; each segment
+    sorts independently (Ray tasks when available) and stamps with
+    ``base + (segment_offset + i) * delay`` — global ranks, and
+    therefore vts values, are identical to the serial path regardless
+    of where the split points land."""
+    n = len(hrows)
+    if split_threshold is None or n <= split_threshold:
+        hrows.sort(key=lambda r: (r[6], r[0]))
+        return [r + (base + i * delay,) for i, r in enumerate(hrows)]
+
+    import bisect
+    n_seg = -(-n // split_threshold)  # ceil
+    keys = [(r[6], r[0]) for r in hrows]
+    # deterministic sample -> exact quantile split points of the sample
+    stride = max(1, n // (n_seg * 32))
+    sample = sorted(keys[::stride])
+    cuts = [sample[(len(sample) * j) // n_seg] for j in range(1, n_seg)]
+    segments: list[list[tuple]] = [[] for _ in range(n_seg)]
+    for key, row in zip(keys, hrows):
+        segments[bisect.bisect_left(cuts, key)].append(row)
+    if use_ray:
+        import ray
+        task = ray.remote(num_cpus=1)(_sort_rank_segment)
+        sorted_segs = ray.get([task.remote(s) for s in segments])
+    else:
+        sorted_segs = [_sort_rank_segment(s) for s in segments]
+    out: list[tuple] = []
+    offset = 0
+    for seg in sorted_segs:
+        out.extend(r + (base + (offset + i) * delay,)
+                   for i, r in enumerate(seg))
+        offset += len(seg)
+    return out
+
+
 class AdmissionShardCore:
     """One shard (plain Python; wrapped by ray.remote in the pool)."""
 
     def __init__(self, mode: str = "exact", expected_keys: int = 1 << 20,
                  bits_per_key: int = 12,
                  robots: RobotsTable | None = None,
-                 default_delay: float = 1.0):
+                 default_delay: float = 1.0,
+                 host_split_threshold: int | None = 200_000):
         self.mode = mode
         self._set: set[bytes] | None = set() if mode == "exact" else None
         self._filter = (None if mode == "exact"
                         else make_filter(mode, expected_keys, bits_per_key))
         self.n_added = 0
         self.robots = robots or RobotsTable(default_delay=default_delay)
+        self.host_split_threshold = host_split_threshold
         self.last_vts: dict[str, float] = {}
         # digest -> (tiebreak, row tuple)
         self._proposals: dict[bytes, tuple] = {}
@@ -140,15 +193,19 @@ class AdmissionShardCore:
         by_host: dict[str, list] = {}
         for r in rows:
             by_host.setdefault(r[1], []).append(r)
+        try:
+            import ray
+            use_ray = ray.is_initialized()
+        except ImportError:      # pragma: no cover
+            use_ray = False
         stamped: list[tuple] = []
         for host, hrows in by_host.items():
-            hrows.sort(key=lambda r: (r[6], r[0]))
             d = self.robots.delay(host)
             last = self.last_vts.get(host)
             base = 0.0 if last is None else last + d
             self.last_vts[host] = base + (len(hrows) - 1) * d
-            stamped.extend(r + (base + i * d,)
-                           for i, r in enumerate(hrows))
+            stamped.extend(_stamp_host_rows(
+                hrows, base, d, self.host_split_threshold, use_ray))
         if out_dir is not None:
             # physical row order is free (vts is already a column): sort
             # by (host, url) so fetch batches hit contiguous runs of the
@@ -207,7 +264,8 @@ class AdmissionPool:
                  expected_keys_per_shard: int = 1 << 20,
                  bits_per_key: int = 12,
                  robots: RobotsTable | None = None,
-                 default_delay: float = 1.0, num_cpus: float = 0.1):
+                 default_delay: float = 1.0, num_cpus: float = 0.1,
+                 host_split_threshold: int | None = 200_000):
         import ray
         self.num_shards = num_shards
         actor_cls = ray.remote(num_cpus=num_cpus)(AdmissionShardCore)
@@ -215,7 +273,8 @@ class AdmissionPool:
             actor_cls.remote(mode=mode,
                              expected_keys=expected_keys_per_shard,
                              bits_per_key=bits_per_key, robots=robots,
-                             default_delay=default_delay)
+                             default_delay=default_delay,
+                             host_split_threshold=host_split_threshold)
             for _ in range(num_shards)
         ]
 

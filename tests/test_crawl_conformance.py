@@ -245,3 +245,41 @@ class TestApproximateSeenModes:
                    key=key)
         assert len(a) == len(b)
         assert [_trace_key(r) for r in a] == [_trace_key(r) for r in b]
+
+
+class TestHostSplitCommit:
+    """Mega-host commit range-split: stamps must be bit-identical to the
+    serial path, both at the unit level and through a full crawl with
+    the split forced on (threshold far below the corpus size)."""
+
+    def test_stamp_host_rows_identical(self):
+        import random
+
+        from crawler_ray.state.admission import _stamp_host_rows
+
+        rng = random.Random(3)
+        rows = [(f"https://h/p{rng.randrange(10_000)}", "h", 1, b"d",
+                 1, "page", rng.randrange(100), "parent")
+                for _ in range(5_000)]
+        serial = _stamp_host_rows(list(rows), base=7.0, delay=0.5,
+                                  split_threshold=None, use_ray=False)
+        split = _stamp_host_rows(list(rows), base=7.0, delay=0.5,
+                                 split_threshold=256, use_ray=False)
+        assert serial == split
+
+    def test_wave_trace_with_split_forced(self, small_corpus, wave_run,
+                                          tmp_path_factory):
+        exact_summary, _, _ = wave_run
+        work = str(tmp_path_factory.mktemp("work_split"))
+        eng = CrawlEngine(small_corpus["dir"], work,
+                          CrawlConfig(host_split_threshold=8))
+        summary = eng.run(mode="wave")
+        key = lambda r: (r["wave"], r["priority"], r["url_norm"])  # noqa: E731
+        a = sorted(pads.dataset(summary["trace_path"],
+                                format="parquet").to_table().to_pylist(),
+                   key=key)
+        b = sorted(pads.dataset(exact_summary["trace_path"],
+                                format="parquet").to_table().to_pylist(),
+                   key=key)
+        assert len(a) == len(b) > 50
+        assert [_trace_key(r) for r in a] == [_trace_key(r) for r in b]
