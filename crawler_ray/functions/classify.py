@@ -145,18 +145,21 @@ def _keyword_scores(text: str, names, single, multi, sizes,
                     tokens=None) -> dict[str, float]:
     """Per-set normalized frequency + row normalization
     (``ml/features.py:400-422``).  Counts are identical to per-keyword
-    ``\\b``-bounded findall (see ``_build_fast``)."""
+    ``\\b``-bounded findall (see ``_build_fast``).  Token counting goes
+    through a ``Counter`` so the per-token work is per-DISTINCT-token
+    (prose repeats words heavily; the C-level Counter does the tally)."""
+    from collections import Counter
+
     counts = dict.fromkeys(names, 0)
     if tokens is None:
         tokens = _WORD_RUN.findall(text)
-    token_set = set()
-    for tok in tokens:
-        low = tok.lower()
-        token_set.add(low)
+    token_counts = Counter(map(str.lower, tokens))
+    for low, c in token_counts.items():
         hit = single.get(low)
         if hit:
             for name in hit:
-                counts[name] += 1
+                counts[name] += c
+    token_set = token_counts.keys()
     for name, pats in multi.items():
         counts[name] += sum(
             len(p.findall(text)) for first, p in pats

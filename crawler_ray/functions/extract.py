@@ -104,21 +104,39 @@ _CONTENT_TEXT_RE = re.compile(r"(content|text|body)")
 _SKIP_HREF_PREFIXES = ("javascript:", "mailto:", "tel:", "#")
 
 
+_CLEAN_TAGS = frozenset(["script", "style", "iframe", "noscript",
+                         "header", "footer", "nav", "aside"])
+
+
 def clean_soup(root: Element) -> None:
     """Boilerplate removal — parity with ``core/content_extractor.py:328-347``.
 
     Removes script/style/iframe/noscript, header/footer/nav/aside, and any
     tag whose class contains one of the ad-class substrings
-    (case-insensitive), in the same pass order as the reference.
-    """
-    for tag in root.find_all(["script", "style", "iframe", "noscript"]):
-        tag.decompose()
-    for tag in root.find_all(["header", "footer", "nav", "aside"]):
-        tag.decompose()
-    for cls in _AD_CLASSES:
-        for tag in root.find_all(
-                class_=lambda x, c=cls: x is not None and c in x.lower()):
-            tag.decompose()
+    (case-insensitive).  The reference runs ~10 sequential find_all+
+    decompose passes; one pre-order walk that detaches a matching subtree
+    and skips descending into it produces the IDENTICAL final tree (the
+    kept set is the complement of the union of matched subtrees, and no
+    later pass can resurrect a detached node), at one traversal instead
+    of ten.  The per-class lambda of the reference (`c in x.lower()` over
+    class tokens and the joined string) reduces to a substring test on
+    the full class attribute, since any matching token substring is also
+    a substring of the joined string."""
+    stack = list(reversed(root.children))
+    while stack:
+        node = stack.pop()
+        if not isinstance(node, Element):
+            continue
+        if node.tag in _CLEAN_TAGS:
+            node.decompose()
+            continue
+        cls = node.attrs.get("class")
+        if cls:
+            low = cls.lower()
+            if any(c in low for c in _AD_CLASSES):
+                node.decompose()
+                continue
+        stack.extend(reversed(node.children))
 
 
 def extract_main_content(root: Element, job_type: str | None = None) -> str:

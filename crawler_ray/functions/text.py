@@ -62,19 +62,37 @@ _COMBINING_TRANSLATION = {
     cp: None for cp in range(0x110000) if unicodedata.combining(chr(cp))
 }
 
+# Search-gates for the two translate passes: one C regex scan decides
+# whether the (much slower) per-char dict translate is needed at all.
+# Most page text contains no mapped Arabic variants and no combining
+# marks, so the common case is two scans and zero translates.
+_CHAR_MAP_RE = re.compile(
+    "[" + "".join(map(re.escape, PERSIAN_CHARS_MAP)) + "]")
+_COMBINING_RE = re.compile(
+    "[" + "".join(re.escape(chr(cp)) for cp in _COMBINING_TRANSLATION)
+    + "]")
+
 
 def normalize_persian_text(text: str | None) -> str:
     """Char unification + whitespace collapse + NFKD combining-mark strip.
 
     Parity with ``utils/text.py:126-150`` (same operation order: char map,
     then whitespace collapse/strip, then NFKD + drop combining marks).
+    The gates below skip work without changing the result: translate is
+    identity when no mapped char occurs; NFKD is identity on ASCII; the
+    combining strip is identity when no combining mark occurs.
     """
     if not text:
         return ""
-    text = text.translate(_CHAR_TRANSLATION)
+    if _CHAR_MAP_RE.search(text):
+        text = text.translate(_CHAR_TRANSLATION)
     text = _WS_RE.sub(" ", text).strip()
-    return unicodedata.normalize("NFKD", text).translate(
-        _COMBINING_TRANSLATION)
+    if text.isascii():
+        return text
+    text = unicodedata.normalize("NFKD", text)
+    if _COMBINING_RE.search(text):
+        text = text.translate(_COMBINING_TRANSLATION)
+    return text
 
 
 def tokenize_persian_text(text: str | None, remove_stop_words: bool = True,
@@ -117,10 +135,23 @@ def similarity_hash(content: str | None, method: str = "md5") -> str | None:
     """Dedup key: md5 of the first 1000 chars of the normalized content.
 
     Parity with ``models/content.py:70-102`` (``calculate_similarity_hash``).
+    Only a prefix of the input is normalized when the content is long:
+    the first 1000 NORMALIZED chars are a pure function of an input
+    prefix (char map and whitespace collapse are streaming-local; NFKD
+    divergence from truncation is confined to the final combining
+    sequence, and combining marks are stripped anyway), so normalizing a
+    4x prefix and requiring ≥1001 normalized chars — falling back to the
+    full text otherwise — produces the identical signature at a fraction
+    of the cost on large pages.
     """
     if not content:
         return None
-    normalized = normalize_persian_text(content)
+    if len(content) > 4000:
+        normalized = normalize_persian_text(content[:4000])
+        if len(normalized) < 1001:
+            normalized = normalize_persian_text(content)
+    else:
+        normalized = normalize_persian_text(content)
     signature = normalized[:1000]
     data = signature.encode("utf-8")
     if method == "sha256":
