@@ -26,6 +26,7 @@ __all__ = [
     "clean_soup", "extract_main_content", "extract_title", "extract_date",
     "extract_author", "extract_list_items", "extract_related_links",
     "extract_links", "extract_page", "detect_page_type", "extract_entities",
+    "RealNerExtractor", "FakeNerExtractor",
 ]
 
 # -- pre-compiled patterns (compiled once at import; the map_batches stage
@@ -404,6 +405,49 @@ def extract_entities(text: str, enabled: bool = False) -> dict[str, list[str]]:
     normalized = normalize_persian_text(text)
     ents = sorted(set(_FAKE_ENT_RE.findall(normalized)))
     return {"FAKE_PROPN": ents} if ents else {}
+
+
+class RealNerExtractor:
+    """The integration point for a real NER model — same contract as
+    ``ops/multimodal.RealImageDecode``.  The reference loads spaCy's
+    ``fa_core_news_sm`` once per process and batch-applies it
+    (``core/content_extractor.py:117-140,555-602``); spaCy is not in
+    this container, so instantiating this raises — by design.  To plug a
+    model: load it ONCE in ``__init__`` (actor-pool pattern F5), apply
+    per batch in ``__call__`` over the ``content`` column following the
+    ``FakeNerExtractor`` shape below (truncate to 10k chars, normalize,
+    dedupe + sort entities per label, emit ``entities_json``), then pass
+    the class to ``map_batches(RealNerExtractor, concurrency=N)`` as a
+    post-extract stage."""
+
+    def __init__(self, model_name: str = "fa_core_news_sm"):
+        raise NotImplementedError(
+            "no NER model libraries are available in this environment; "
+            "plug a real model here (load it ONCE in __init__, tag per "
+            "batch in __call__) and swap it for FakeNerExtractor — see "
+            "the class docstring for the exact contract")
+
+
+class FakeNerExtractor:
+    """Deterministic NER actor stand-in: the regex 'model' is bound once
+    per actor in ``__init__``; ``__call__`` rewrites ``entities_json``
+    for each batch exactly as the inline ``extract_entities`` path does,
+    so swapping a real model in changes ONLY the tagger."""
+
+    def __init__(self):
+        self._model = _FAKE_ENT_RE  # "model" loaded once per actor
+
+    def __call__(self, t):
+        import json
+
+        import pyarrow as pa
+        out = []
+        for text in t["content"].to_pylist():
+            ents = extract_entities(text or "", enabled=True)
+            out.append(json.dumps(ents, ensure_ascii=False,
+                                  sort_keys=True))
+        return t.set_column(t.column_names.index("entities_json"),
+                            "entities_json", pa.array(out, pa.string()))
 
 
 def extract_page(html: str | bytes | None, url: str,

@@ -137,3 +137,30 @@ def test_tie_break_on_text_descending():
     assert extract_main_content(parse_html(html)) == "bbb"
     html = "<body><div>aaa</div><div>bbb</div></body>"
     assert extract_main_content(parse_html(html)) == "bbb"
+
+
+def test_ner_actor_stage_plumbing(ray_session):
+    """The pluggable NER stage: FakeNerExtractor rewrites entities_json
+    per batch through map_batches (actor-pool shape); RealNerExtractor
+    is the documented raising integration point."""
+    import json
+
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from crawler_ray.functions.extract import (FakeNerExtractor,
+                                               RealNerExtractor)
+
+    with pytest.raises(NotImplementedError):
+        RealNerExtractor()
+
+    t = pa.table({"content": ["Alice met Bob in Tehran", "", "no caps"],
+                  "entities_json": ["{}", "{}", "{}"]})
+    out = (rd.from_arrow(t)
+           .map_batches(FakeNerExtractor, batch_format="pyarrow",
+                        concurrency=1)
+           .to_pandas())
+    ents = [json.loads(e) for e in out["entities_json"]]
+    assert ents[0] == {"FAKE_PROPN": ["Alice", "Bob", "Tehran"]}
+    assert ents[1] == {} and ents[2] == {}
