@@ -217,17 +217,23 @@ def minhash_signatures(sf_dir: str, num_perm: int = 128,
 def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
                       shingle_k: int = 5, threshold: float = 0.5,
                       table: str = "documents",
-                      join_partitions: int | None = None):
+                      join_partitions: int | None = None,
+                      broadcast_threshold: int = 50_000):
     """Near-dup candidate pairs via LSH banding, verified by signature
     agreement (estimated Jaccard).  Returns (doc_a, doc_b,
     est_jaccard_milli) for pairs >= threshold.
 
-    Scale shape: signatures never land on the driver and are never
-    broadcast — the verify step joins the candidate pairs back to the
-    signature table twice, keyed by doc_id (hash-partitioned
-    ``Dataset.join``), then compares the per-pair signature rows as one
-    (n_pairs, num_perm) numpy equality per batch.  Everything that
-    shuffles is 8-byte ids + one num_perm*8 B signature per side."""
+    Scale shape: the verify step is a two-sided signature join keyed by
+    doc_id.  Like any join, it picks its physical strategy by side size:
+    a signature table at or under ``broadcast_threshold`` docs
+    (num_perm*8 B each — 50k docs ≈ 50 MB) is broadcast once via
+    ``ray.put`` and looked up in-task (broadcast join — the shuffle
+    machinery would cost more than the data), while a larger table goes
+    through two hash-partitioned ``Dataset.join`` passes so signatures
+    never land on the driver and never fan out whole.  Both paths
+    compare the per-pair signatures as ONE (n_pairs, num_perm) numpy
+    equality per batch; set ``broadcast_threshold=0`` to force the join
+    path (the chain-component test does)."""
     join_partitions = _join_partitions(join_partitions)
     rows = num_perm // bands
     # signatures feed both the banding pass and the verify joins —
@@ -278,17 +284,10 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
     pairs = banded.groupby("band").map_groups(band_pairs,
                                               batch_format="pandas")
 
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "est_jaccard_milli": pa.array([], pa.int64())})
+    def score_pairs(t: pa.Table, sa: np.ndarray,
+                    sb: np.ndarray) -> pa.Table:
         # one stacked (n_pairs, num_perm) comparison per batch — no
         # per-pair Python loop
-        sa = np.frombuffer(b"".join(t["sig_a"].to_pylist()),
-                           dtype=np.uint64).reshape(t.num_rows, num_perm)
-        sb = np.frombuffer(b"".join(t["sig_b"].to_pylist()),
-                           dtype=np.uint64).reshape(t.num_rows, num_perm)
         matches = (sa == sb).sum(axis=1).astype(np.int64)
         est = matches * 1000 // num_perm
         out = pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
@@ -297,22 +296,60 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
             pa.compute.greater_equal(out["est_jaccard_milli"],
                                      int(threshold * 1000)))
 
+    _EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
+                       "doc_b": pa.array([], pa.int64()),
+                       "est_jaccard_milli": pa.array([], pa.int64())})
+
+    def verify_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        sa = np.frombuffer(b"".join(t["sig_a"].to_pylist()),
+                           dtype=np.uint64).reshape(t.num_rows, num_perm)
+        sb = np.frombuffer(b"".join(t["sig_b"].to_pylist()),
+                           dtype=np.uint64).reshape(t.num_rows, num_perm)
+        return score_pairs(t, sa, sb)
+
     # dedupe candidate pairs discovered by multiple bands BEFORE the
     # (more expensive) verification
     from ray.data.aggregate import Count
+    agg = (pairs.groupby(["doc_a", "doc_b"])
+           .aggregate(Count(alias_name="n_bands")))
+
+    if sig_ds.count() <= broadcast_threshold:
+        # small-side broadcast join: ship the signature map once, look
+        # it up in-task; comparison stays one stacked numpy equality
+        import ray
+        sig_t = sig_ds.to_arrow_refs()
+        sig_map: dict[int, bytes] = {}
+        for ref in sig_t:
+            blk = ray.get(ref)
+            sig_map.update(zip(blk["doc_id"].to_pylist(),
+                               blk["sig"].to_pylist()))
+        sig_map_ref = ray.put(sig_map)
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _EMPTY
+            m = ray.get(sig_map_ref)
+            sa = np.frombuffer(
+                b"".join(m[a] for a in t["doc_a"].to_pylist()),
+                dtype=np.uint64).reshape(t.num_rows, num_perm)
+            sb = np.frombuffer(
+                b"".join(m[b] for b in t["doc_b"].to_pylist()),
+                dtype=np.uint64).reshape(t.num_rows, num_perm)
+            return score_pairs(t, sa, sb)
+
+        return agg.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    # the join path needs schema-clean blocks (see _join_ready)
     uniq = _join_ready(
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands")),
-        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                   ("n_bands", pa.int64())]))
+        agg, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                        ("n_bands", pa.int64())]))
     # Dataset.join breaks on an empty side (no shards shuffled -> the
     # aggregator joins a schema-less table); zero candidates means zero
     # verified pairs, so short-circuit
     if uniq.count() == 0:
-        return _rd().from_arrow(pa.table(
-            {"doc_a": pa.array([], pa.int64()),
-             "doc_b": pa.array([], pa.int64()),
-             "est_jaccard_milli": pa.array([], pa.int64())}))
+        return _rd().from_arrow(_EMPTY)
     # doc_id-keyed signature joins (Dataset.join drops the right key
     # column, so each join contributes exactly one sig column)
     with_a = uniq.join(sig_ds, "inner", num_partitions=join_partitions,
@@ -321,7 +358,7 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
     with_b = with_a.join(sig_ds, "inner", num_partitions=join_partitions,
                          on=("doc_b",), right_on=("doc_id",)
                          ).rename_columns({"sig": "sig_b"})
-    return with_b.map_batches(verify, batch_format="pyarrow")
+    return with_b.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def minhash_dedup_keep(sf_dir: str, max_rounds: int = 64,

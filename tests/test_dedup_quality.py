@@ -118,7 +118,9 @@ def test_minhash_dedup_keep_chain_components(tmp_path):
         pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
                   "text": pa.array([t for _, t in docs], pa.string())}),
         os.path.join(out, "documents.parquet"))
-    pairs = dedup.minhash_lsh_pairs(out, threshold=0.5).to_pandas()
+    # broadcast_threshold=0 forces the at-scale doc_id-keyed join path
+    pairs = dedup.minhash_lsh_pairs(out, threshold=0.5,
+                                    broadcast_threshold=0).to_pandas()
     found = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
     # the chain edges must be present for the component test to mean much
     assert {(10, 11), (11, 12), (12, 13), (13, 14)} <= found, found
@@ -126,7 +128,8 @@ def test_minhash_dedup_keep_chain_components(tmp_path):
     # no chain<->iso edge, and the chain ends don't connect directly
     assert not any(a < 500 <= b for a, b in found), found
     assert (10, 14) not in found, found
-    keep = dedup.minhash_dedup_keep(out, threshold=0.5).to_pandas()
+    keep = dedup.minhash_dedup_keep(out, threshold=0.5,
+                                    broadcast_threshold=0).to_pandas()
     km = dict(zip(keep["doc_id"].astype(int), keep["keep"].astype(bool)))
     assert km == {10: True, 11: False, 12: False, 13: False, 14: False,
                   500: True, 501: False}
