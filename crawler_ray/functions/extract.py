@@ -26,7 +26,7 @@ __all__ = [
     "clean_soup", "extract_main_content", "extract_title", "extract_date",
     "extract_author", "extract_list_items", "extract_related_links",
     "extract_links", "extract_page", "detect_page_type", "extract_entities",
-    "RealNerExtractor", "FakeNerExtractor",
+    "RealNerExtractor", "FakeNerExtractor", "extract_with_selectors",
 ]
 
 # -- pre-compiled patterns (compiled once at import; the map_batches stage
@@ -488,3 +488,91 @@ def extract_page(html: str | bytes | None, url: str,
     elif job_type == "detail":
         record["related_links"] = extract_related_links(root, url)
     return record
+
+
+def extract_with_selectors(html: str | bytes | None, url: str,
+                           job_type: str | None,
+                           selectors: dict[str, str | None] | None,
+                           root: Element | None = None) -> dict:
+    """Selector-driven extraction (M14) — the reference's legacy path
+    used when the heuristic extractor is unavailable
+    (``core/crawler.py:1158-1276`` ``_extract_page_data``): generic
+    title/date/author always, then the discovered selector map drives the
+    page-type-specific fields.  Consumes the ``tag.class`` selector maps
+    ``ops/discovery.py`` produces (M22) / ``match_selectors`` joins (J5).
+
+    - list pages: container/item selectors -> per-item title / absolute
+      link / summary, items_count, pagination flag + links
+      (``:1185-1240``).
+    - detail pages: content selector -> text + ``content_html``
+      re-serialization; date/author selector fallbacks fire only when the
+      generic extractors found nothing (``:1243-1272``).
+    - anything else (or no selectors): generic main-content extraction
+      (``:1273-1275``).
+    """
+    if not html:
+        return {"url": url, "type": job_type, "title": "", "date": "",
+                "author": "", "content": "", "error": "empty html"}
+    if root is None:
+        root = parse_html(html)
+    sel = selectors or {}
+    data: dict = {
+        "url": url, "type": job_type,
+        "title": extract_title(root),
+        "date": extract_date(root),
+        "author": extract_author(root),
+    }
+
+    if job_type == "list":
+        items: list[dict] = []
+        if sel.get("container") and sel.get("item"):
+            container = root.select_one(sel["container"])
+            if container is not None:
+                for item_el in container.select(sel["item"]):
+                    item: dict = {}
+                    if sel.get("title"):
+                        t = item_el.select_one(sel["title"])
+                        if t is not None:
+                            item["title"] = t.get_text().strip()
+                    if sel.get("link"):
+                        a = item_el.select_one(sel["link"])
+                        if a is not None and "href" in a.attrs:
+                            item["link"] = urljoin(url, a.attrs["href"])
+                    if sel.get("summary"):
+                        s = item_el.select_one(sel["summary"])
+                        if s is not None:
+                            item["summary"] = s.get_text().strip()
+                    items.append(item)
+        data["items"] = items
+        data["items_count"] = len(items)
+        pagination = (root.select_one(sel["pagination"])
+                      if sel.get("pagination") else None)
+        if pagination is not None:
+            data["has_pagination"] = True
+            links = []
+            if sel.get("pagination_links"):
+                for a in pagination.select(sel["pagination_links"]):
+                    if "href" in a.attrs:
+                        links.append(urljoin(url, a.attrs["href"]))
+            data["pagination_links"] = links
+        else:
+            data["has_pagination"] = False
+    elif job_type == "detail":
+        content_el = (root.select_one(sel["content"])
+                      if sel.get("content") else None)
+        if content_el is not None:
+            data["content"] = content_el.get_text().strip()
+            data["content_html"] = content_el.to_html()
+        else:
+            data["content"] = extract_main_content(root, job_type)
+        if sel.get("date") and not data.get("date"):
+            d = root.select_one(sel["date"])
+            if d is not None:
+                data["date"] = d.get_text().strip()
+        if sel.get("author") and not data.get("author"):
+            a = root.select_one(sel["author"])
+            if a is not None:
+                data["author"] = a.get_text().strip()
+    else:
+        data["content"] = extract_main_content(root, job_type)
+    return data

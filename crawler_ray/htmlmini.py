@@ -172,6 +172,59 @@ class Element:
                 pass
             self.parent = None
 
+    # -- simple CSS selectors (the grammar discovery emits: ``tag``,
+    #    ``.class``, ``tag.class`` — M14 consumes these; full CSS is out
+    #    of scope, mirroring the reference's select_one/select use over
+    #    its own discovered selectors, ``core/crawler.py:1191-1276``) ---
+    @staticmethod
+    def _parse_selector(sel: str) -> tuple[Optional[str], Optional[str]]:
+        sel = sel.strip()
+        if "." in sel:
+            tag, _, cls = sel.partition(".")
+            return (tag or None), (cls or None)
+        return (sel or None), None
+
+    def select(self, sel: str, limit: int | None = None
+               ) -> list["Element"]:
+        """Descendants matching a ``tag`` / ``.class`` / ``tag.class``
+        selector (CSS class semantics: whitespace-token equality)."""
+        tag, cls = self._parse_selector(sel)
+        out = []
+        for el in self.iter_descendants():
+            if tag is not None and el.tag != tag:
+                continue
+            if cls is not None and cls not in el.classes:
+                continue
+            out.append(el)
+            if limit is not None and len(out) >= limit:
+                break
+        return out
+
+    def select_one(self, sel: str) -> Optional["Element"]:
+        found = self.select(sel, limit=1)
+        return found[0] if found else None
+
+    def to_html(self) -> str:
+        """Deterministic re-serialization of this subtree (the analog of
+        bs4 ``str(element)`` the reference stores as ``content_html``;
+        like bs4's, it is a re-serialization, not the source bytes)."""
+        from html import escape
+        parts: list[str] = []
+
+        def emit(node) -> None:
+            if isinstance(node, TextNode):
+                parts.append(escape(node.text, quote=False))
+                return
+            attrs = "".join(f' {k}="{escape(v or "")}"'
+                            for k, v in node.attrs.items())
+            parts.append(f"<{node.tag}{attrs}>")
+            for child in node.children:
+                emit(child)
+            parts.append(f"</{node.tag}>")
+
+        emit(self)
+        return "".join(parts)
+
     # -- convenience -------------------------------------------------------
     @property
     def name(self) -> str:

@@ -117,3 +117,59 @@ def test_match_selectors_similarity_join():
     key, sels = match_selectors("https://a.example/totally/other/path",
                                 stored)
     assert key is None and sels is None
+
+
+def test_selector_driven_extraction_list_and_detail():
+    """M14 end-to-end: discovery's selector maps drive extraction
+    (reference core/crawler.py:1158-1276 semantics — container/item
+    iteration, urljoin'd links, pagination, content selector with
+    generic fallback, date/author selector fallbacks)."""
+    from crawler_ray.functions.extract import extract_with_selectors
+    from crawler_ray.ops.discovery import discover_selectors
+
+    list_html = """
+    <html><body>
+      <div class="post-list">
+        <div class="item"><h3>First</h3><a href="/a/1">go</a>
+          <p class="summary">sum one</p></div>
+        <div class="item"><h3>Second</h3><a href="/a/2">go</a>
+          <p class="summary">sum two</p></div>
+      </div>
+      <div class="pagination"><a href="/page/2">2</a>
+        <a href="/page/3">3</a></div>
+    </body></html>"""
+    sel = discover_selectors(list_html, "list")
+    assert sel["container"] and sel["item"]
+    data = extract_with_selectors(list_html, "https://s.example/list",
+                                  "list", sel)
+    assert data["items_count"] == 2
+    assert data["items"][0]["title"] == "First"
+    assert data["items"][0]["link"] == "https://s.example/a/1"
+    assert data["items"][1]["summary"] == "sum two"
+    assert data["has_pagination"] is True
+    # pagination links need a pagination_links selector (reference
+    # behavior: empty list without one)
+    assert data["pagination_links"] == []
+    sel["pagination_links"] = "a"
+    data = extract_with_selectors(list_html, "https://s.example/list",
+                                  "list", sel)
+    assert data["pagination_links"] == ["https://s.example/page/2",
+                                        "https://s.example/page/3"]
+
+    detail_html = """
+    <html><body>
+      <article class="post-body"><p>Main body text that is long enough
+      to be the content.</p></article>
+      <span class="date-line">1402/01/01</span>
+      <span class="author-name">N. Writer</span>
+    </body></html>"""
+    sel = discover_selectors(detail_html, "detail")
+    data = extract_with_selectors(detail_html, "https://s.example/d/9",
+                                  "detail", sel)
+    assert "Main body text" in data["content"]
+    assert data["content_html"].startswith('<article class="post-body">')
+    # no selectors at all -> generic main-content fallback
+    data2 = extract_with_selectors(detail_html, "https://s.example/d/9",
+                                   "detail", {})
+    assert "Main body text" in data2["content"]
+    assert "content_html" not in data2
