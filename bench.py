@@ -99,12 +99,22 @@ def run_bench() -> dict:
         # and the low-entropy sf0.1 corpus makes that blow up (the
         # documented hot-gram cost; MinHash below is the scale path)
         "minhash_pairs": lambda: dedup.minhash_lsh_pairs(sf_dir),
+        # full dedup decision: LSH pairs -> distributed min-label
+        # propagation (includes Dataset.join rounds)
+        "minhash_dedup_keep": lambda: dedup.minhash_dedup_keep(sf_dir),
         "simhash_pairs": lambda: dedup.simhash_pairs(sf_dir),
         "embedding_dup_pairs": lambda: dedup.embedding_dup_pairs(sf_dir),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(sf_dir),
         "token_counts": lambda: textstats.token_counts(sf_dir),
         "lang_id": lambda: textstats.lang_id(sf_dir),
         "fingerprints": lambda: textstats.fingerprints(sf_dir),
+        # model-backed classification (trains the seeded artifact on
+        # first use into /tmp; subsequent runs only score)
+        "classify_docs_model":
+            lambda: textstats.classify_docs_model(sf_dir),
+        # scored expert<->domain link table (two hash joins + aggregates)
+        "expert_domain_links":
+            lambda: relational.expert_domain_links(sf_dir),
     }
     for name, fn in suite.items():
         t0 = time.time()

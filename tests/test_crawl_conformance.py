@@ -283,3 +283,31 @@ class TestHostSplitCommit:
                    key=key)
         assert len(a) == len(b) > 50
         assert [_trace_key(r) for r in a] == [_trace_key(r) for r in b]
+
+
+class TestManifestFormatGuard:
+    def test_stale_format_resume_raises(self, small_corpus,
+                                        tmp_path_factory):
+        """Resume from a checkpoint written by an older engine version
+        (different snapshot/part layout) must fail fast with a clear
+        re-run-fresh error, not a FileNotFoundError deep in restore."""
+        import json
+
+        work = str(tmp_path_factory.mktemp("work_fmt"))
+        eng = CrawlEngine(small_corpus["dir"], work, CrawlConfig())
+        eng.run(mode="wave")
+        mpath = os.path.join(work, "wave", "wave-0000", "manifest.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        manifest["format"] = 1  # pretend an old engine wrote this
+        # make this wave the resume point: drop later manifests
+        for d in sorted(os.listdir(os.path.join(work, "wave"))):
+            if d.startswith("wave-") and d != "wave-0000":
+                mp = os.path.join(work, "wave", d, "manifest.json")
+                if os.path.exists(mp):
+                    os.remove(mp)
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        eng2 = CrawlEngine(small_corpus["dir"], work, CrawlConfig())
+        with pytest.raises(ValueError, match="re-run fresh"):
+            eng2.run(mode="wave", resume=True)
