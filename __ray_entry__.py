@@ -77,69 +77,17 @@ def _crawl_host_rates(sf_dir: str):
     visits, virtual-time span, implied visit rate, and the minimum
     observed gap — which must never undercut the host's crawl-delay.
 
-    Scale shape: the trace is sorted by (host, fetch_vts) once, each
-    batch then emits ONE partial row per host run it contains (count,
-    first/last vts, min in-batch gap), and the final groupby merges
-    partials — a few rows per (host, batch) — ordering them by first_vts
-    to add the batch-boundary gaps.  Per-host work never touches raw
-    rows after the sort, so a million-host trace shuffles only partials."""
-    import pandas as pd
-    import pyarrow as pa
+    The reduction is ``ops/hostrates.py``'s associative vectorized
+    merge tree — no per-host Python calls anywhere, so the shape holds
+    at million-host traces (see that module's docstring)."""
     import ray.data as rd
 
+    from crawler_ray.ops.hostrates import host_rate_table
+
     summary = _crawl_summary()
-    ds = (rd.read_parquet(summary["trace_path"],
-                          columns=["host", "fetch_vts"])
-          .sort(["host", "fetch_vts"]))
-
-    def partials(t: pa.Table) -> pa.Table:
-        import numpy as np
-        hosts = t["host"].to_pylist()
-        vts = t["fetch_vts"].to_numpy(zero_copy_only=False)
-        out = {"host": [], "n": [], "first_vts": [], "last_vts": [],
-               "min_gap": []}
-        i = 0
-        while i < len(hosts):
-            j = i
-            while j < len(hosts) and hosts[j] == hosts[i]:
-                j += 1
-            run = vts[i:j]
-            gaps = np.diff(run)
-            out["host"].append(hosts[i])
-            out["n"].append(j - i)
-            out["first_vts"].append(float(run[0]))
-            out["last_vts"].append(float(run[-1]))
-            out["min_gap"].append(float(gaps.min()) if len(gaps)
-                                  else float("inf"))
-            i = j
-        return pa.table({
-            "host": pa.array(out["host"], pa.string()),
-            "n": pa.array(out["n"], pa.int64()),
-            "first_vts": pa.array(out["first_vts"], pa.float64()),
-            "last_vts": pa.array(out["last_vts"], pa.float64()),
-            "min_gap": pa.array(out["min_gap"], pa.float64())})
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("first_vts")
-        n = int(g["n"].sum())
-        span = (float(g["last_vts"].iloc[-1] - g["first_vts"].iloc[0])
-                if n > 1 else 0.0)
-        gaps = list(g["min_gap"][g["min_gap"] < float("inf")])
-        # batch-boundary gaps between consecutive partial runs
-        gaps.extend(float(a) for a in
-                    (g["first_vts"].iloc[1:].to_numpy()
-                     - g["last_vts"].iloc[:-1].to_numpy()))
-        return pd.DataFrame({
-            "host": [g["host"].iloc[0]],
-            "n_visits": pd.Series([n], dtype="int64"),
-            "vts_span_sec": [span],
-            "visits_per_vminute": [
-                (n - 1) / span * 60 if span > 0 else 0.0],
-            "min_gap_sec": [float(min(gaps)) if gaps else 0.0],
-        })
-
-    return (ds.map_batches(partials, batch_format="pyarrow")
-            .groupby("host").map_groups(merge, batch_format="pandas"))
+    return host_rate_table(
+        rd.read_parquet(summary["trace_path"],
+                        columns=["host", "fetch_vts"]))
 
 
 def _crawl_experts(sf_dir: str):
