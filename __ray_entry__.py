@@ -111,6 +111,7 @@ def _crawl_domain_content(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.ops import dedup, discovery, multimodal, relational
     from crawler_ray.ops import similarity, textstats, urls_jobs
+    from crawler_ray.state import history
 
     return {
         # relational / aggregation / join / window (SURVEY §2 A1-A11,
@@ -158,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
         "url_part_stats": urls_jobs.url_part_stats,
+        # O3 bounded-history eviction replayed in closed form over the
+        # events log (state/history.py docstring has the derivation)
+        "history_eviction": history.history_eviction,
         # URL-structure discovery (M24/A7/A8: featurize -> DBSCAN ->
         # patterns; clustering internals pytest-pinned, rows-only here)
         "url_patterns": discovery.url_pattern_table,
@@ -544,6 +548,25 @@ def oracle_sql() -> dict[str, str]:
                              > 0.7 THEN 'numeric'
                         ELSE 'variable' END AS part_kind
             FROM parts GROUP BY position
+        """,
+        # O3: evictions fire at size max+1 dropping evict_chunk oldest,
+        # so final size = n - chunk*ceil((n-max)/chunk); retained = the
+        # newest `size` keys by (ts, key) desc — state/history.py
+        "history_eviction": """
+            WITH d AS (
+                SELECT event_id, MAX(ts) AS ts
+                FROM events GROUP BY event_id
+            ), n AS (SELECT COUNT(*) AS n FROM d),
+            r AS (
+                SELECT event_id, ts,
+                       ROW_NUMBER() OVER (ORDER BY ts DESC,
+                                          event_id DESC) AS rn
+                FROM d
+            )
+            SELECT r.event_id, r.ts FROM r, n
+            WHERE r.rn <= CASE WHEN n.n <= 500 THEN n.n
+                          ELSE n.n - 100 * CAST(CEIL((n.n - 500) / 100.0)
+                                                AS BIGINT) END
         """,
         "knn_bruteforce": """
             WITH q AS (

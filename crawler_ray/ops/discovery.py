@@ -211,7 +211,7 @@ def discover_selectors(html, page_type: str) -> dict[str, str | None]:
     {container, item, title, link, summary, pagination}; detail pages get
     {container, title, content, date, author}.  Selectors are
     ``tag.first-class`` strings (the reference keeps CSS selectors too;
-    its naive XPath conversion M23 is deliberately dropped)."""
+    ``selectors_to_xpaths`` below is its naive XPath conversion M23)."""
     from crawler_ray.htmlmini import parse_html
     root = html if hasattr(html, "find_all") else parse_html(html)
 
@@ -300,3 +300,58 @@ def match_selectors(url: str, stored: dict[str, dict],
             best = key
             best_score = score
     return (best, stored.get(best)) if best is not None else (None, None)
+
+
+def css_to_xpath(css_selector: str | None, strip_xpath: bool = False) -> str:
+    """M23: naive ``tag.class`` CSS selector → XPath
+    (``core/structure_discovery.py:616-642``): ``tag.cls`` becomes
+    ``//tag[contains(@class, 'cls')]``, a bare ``tag`` becomes
+    ``//tag``; ``strip_xpath`` drops the leading ``//`` (used when the
+    caller nests the path under a parent).  Empty/None → ""."""
+    if not css_selector:
+        return ""
+    parts = css_selector.split(".")
+    tag = parts[0]
+    xpath = (f"//{tag}[contains(@class, '{parts[1]}')]"
+             if len(parts) > 1 else f"//{tag}")
+    return xpath[2:] if strip_xpath else xpath
+
+
+def selectors_to_xpaths(selectors: dict[str, str | None],
+                        page_type: str) -> dict[str, str]:
+    """M23: convert a discovered selector map (M22) to XPath paths
+    (``core/structure_discovery.py:550-614``).  List pages nest
+    item/title/link/summary under the container path and
+    pagination_links under pagination; detail pages nest
+    content/date/author under the container but keep title absolute —
+    exactly the reference's branch structure.  ``None`` selector values
+    are treated as absent keys (discover_selectors emits every key;
+    the reference only stores found ones)."""
+    sel = {k: v for k, v in selectors.items() if v}
+    xpaths: dict[str, str] = {}
+    if page_type == "list":
+        if "container" in sel:
+            xpaths["container"] = css_to_xpath(sel["container"])
+            if "item" in sel:
+                xpaths["item"] = (f"{xpaths['container']}//"
+                                  f"{css_to_xpath(sel['item'], True)}")
+                for k in ("title", "link", "summary"):
+                    if k in sel:
+                        xpaths[k] = (f"{xpaths['item']}//"
+                                     f"{css_to_xpath(sel[k], True)}")
+        if "pagination" in sel:
+            xpaths["pagination"] = css_to_xpath(sel["pagination"])
+            if "pagination_links" in sel:
+                xpaths["pagination_links"] = (
+                    f"{xpaths['pagination']}//"
+                    f"{css_to_xpath(sel['pagination_links'], True)}")
+    elif page_type == "detail":
+        if "container" in sel:
+            xpaths["container"] = css_to_xpath(sel["container"])
+            if "title" in sel:
+                xpaths["title"] = css_to_xpath(sel["title"])
+            for k in ("content", "date", "author"):
+                if k in sel:
+                    xpaths[k] = (f"{xpaths['container']}//"
+                                 f"{css_to_xpath(sel[k], True)}")
+    return xpaths

@@ -173,3 +173,72 @@ def test_selector_driven_extraction_list_and_detail():
                                    "detail", {})
     assert "Main body text" in data2["content"]
     assert "content_html" not in data2
+
+
+def test_css_to_xpath_branches():
+    from crawler_ray.ops.discovery import css_to_xpath
+    # reference core/structure_discovery.py:616-642 branch-by-branch
+    assert css_to_xpath("div.card") == "//div[contains(@class, 'card')]"
+    assert css_to_xpath("h3") == "//h3"
+    assert css_to_xpath("h3", strip_xpath=True) == "h3"
+    assert (css_to_xpath("span.byline", strip_xpath=True)
+            == "span[contains(@class, 'byline')]")
+    assert css_to_xpath("") == ""
+    assert css_to_xpath(None) == ""
+    # only the FIRST class is used (reference splits on '.' and takes
+    # parts[1])
+    assert css_to_xpath("div.a.b") == "//div[contains(@class, 'a')]"
+
+
+def test_selectors_to_xpaths_list_nesting():
+    from crawler_ray.ops.discovery import selectors_to_xpaths
+    sel = {"container": "div.news-list", "item": "div.card",
+           "title": "h3", "link": "a", "summary": None,
+           "pagination": "div.pager", "pagination_links": "a.page"}
+    xp = selectors_to_xpaths(sel, "list")
+    c = "//div[contains(@class, 'news-list')]"
+    item = f"{c}//div[contains(@class, 'card')]"
+    assert xp == {
+        "container": c,
+        "item": item,
+        "title": f"{item}//h3",
+        "link": f"{item}//a",
+        "pagination": "//div[contains(@class, 'pager')]",
+        "pagination_links": ("//div[contains(@class, 'pager')]"
+                             "//a[contains(@class, 'page')]"),
+    }
+    # no container -> only pagination branch fires
+    assert selectors_to_xpaths({"pagination": "div.pager"}, "list") == {
+        "pagination": "//div[contains(@class, 'pager')]"}
+    # item absent -> children never emitted (reference nests them
+    # strictly under item)
+    assert "title" not in selectors_to_xpaths(
+        {"container": "div.l", "title": "h3"}, "list")
+
+
+def test_selectors_to_xpaths_detail_and_generic():
+    from crawler_ray.ops.discovery import selectors_to_xpaths
+    xp = selectors_to_xpaths(
+        {"container": "article", "title": "h1", "content": "article",
+         "date": "time", "author": "span.author"}, "detail")
+    assert xp["title"] == "//h1"  # absolute, not nested (reference)
+    assert xp["content"] == "//article//article"
+    assert xp["author"] == "//article//span[contains(@class, 'author')]"
+    # generic page type -> reference returns {}
+    assert selectors_to_xpaths({"container": "div"}, "generic") == {}
+
+
+def test_discovered_selectors_convert_round_trip():
+    """End-to-end: discover a selector map from HTML (M22), convert to
+    XPath (M23)."""
+    from crawler_ray.ops.discovery import (discover_selectors,
+                                           selectors_to_xpaths)
+    html = ("<html><body><div class='news-list'>"
+            "<div class='card'><h3>T</h3><a href='/x'>m</a>"
+            "<p class='summary'>s</p></div></div>"
+            "<div class='pagination'><a>2</a></div></body></html>")
+    sel = discover_selectors(html, "list")
+    xp = selectors_to_xpaths(sel, "list")
+    assert xp["container"].startswith("//div[contains(@class, ")
+    assert xp["item"].startswith(xp["container"] + "//")
+    assert "pagination" in xp
