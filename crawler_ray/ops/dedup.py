@@ -41,18 +41,27 @@ def _rd():
     return rd
 
 
-def _join_partitions(requested: int | None) -> int:
-    """Partition count for hash joins: scale with the cluster.  Join
-    aggregator actors reserve ~0.125 CPU + memory per partition; a fixed
-    large count deadlocks small clusters (two chained 16-partition joins
-    starve a 4-CPU test session), while a fixed small count under-splits
-    at scale.  P = #CPUs keeps each join at ~1/8 of the cluster's CPUs."""
+def _join_partitions(requested: int | None,
+                     approx_rows: int | None = None) -> int:
+    """Partition count for hash joins: scale with the cluster AND the
+    data.  Join aggregator actors reserve ~0.125 CPU + memory per
+    partition; a fixed large count deadlocks small clusters (two
+    chained 16-partition joins starve a 4-CPU test session), while a
+    fixed small count under-splits at scale.  The cluster cap is
+    P = #CPUs (each join ~1/8 of the cluster); when the caller knows
+    the bigger side's row count (parquet metadata or a materialized
+    aggregate — both free), partitions are further bounded to
+    ~64k rows each so aggregate-sized joins don't pay 32 actors of
+    startup to shuffle a few thousand rows."""
     if requested is not None:
         return requested
     import ray
     cpus = (ray.cluster_resources().get("CPU", 8)
             if ray.is_initialized() else 8)
-    return max(2, min(64, int(cpus)))
+    cap = max(2, min(64, int(cpus)))
+    if approx_rows is not None:
+        return max(2, min(cap, approx_rows // 65536 + 1))
+    return cap
 
 
 def _join_ready(ds, schema: pa.Schema):
@@ -380,6 +389,7 @@ def minhash_dedup_keep(sf_dir: str, max_rounds: int = 64,
 
     from ray.data.aggregate import Min
 
+    requested_jp = join_partitions
     join_partitions = _join_partitions(join_partitions)
     pairs = (minhash_lsh_pairs(sf_dir, join_partitions=join_partitions,
                                **kwargs)
@@ -397,6 +407,12 @@ def minhash_dedup_keep(sf_dir: str, max_rounds: int = 64,
 
     edges = pairs.map_batches(both_dirs,
                               batch_format="pyarrow").materialize()
+    # near-dup edge tables are far smaller than the corpus (only docs
+    # with LSH collisions appear); size the per-round join to the edge
+    # count, not the cluster, so each propagation round doesn't pay
+    # full-width join-actor startup to shuffle a few thousand edges
+    prop_jp = _join_partitions(requested_jp,
+                               approx_rows=edges.count())
 
     # round 0 fused into the node build: label = min(node, min neighbor)
     def init_label(t: pa.Table) -> pa.Table:
@@ -415,7 +431,7 @@ def minhash_dedup_keep(sf_dir: str, max_rounds: int = 64,
     prev_sum = labels.sum("label")
     for _ in range(max_rounds):
         prop = (edges.join(labels, "inner",
-                           num_partitions=join_partitions,
+                           num_partitions=prop_jp,
                            on=("src",), right_on=("node",))
                 .select_columns(["dst", "label"])
                 .rename_columns({"dst": "node"}))

@@ -472,10 +472,14 @@ def expert_domain_links(sf_dir: str, join_partitions: int | None = None):
     from ray.data.aggregate import Count, Sum
 
     from crawler_ray.ops.dedup import _join_partitions, _join_ready
-    jp = _join_partitions(join_partitions)
 
     n_docs = pads.dataset(f"{sf_dir}/documents.parquet",
                           format="parquet").count_rows()
+    n_orders = pads.dataset(f"{sf_dir}/orders.parquet",
+                            format="parquet").count_rows()
+    # partitions sized to the bigger join side (answers = orders rows,
+    # known for free from parquet metadata)
+    jp = _join_partitions(join_partitions, approx_rows=n_orders)
     classed = domain_content_links(sf_dir).select_columns(
         ["content_id", "domain"])
 
@@ -504,9 +508,12 @@ def expert_domain_links(sf_dir: str, join_partitions: int | None = None):
     out_schema = pa.schema(
         [("expert_id", pa.int64()), ("domain", pa.string()),
          ("n_answers", pa.int64()), ("confidence_milli", pa.int64())])
-    if gc.count() == 0:
+    n_gc = gc.count()  # cheap: _join_ready materialized the aggregate
+    if n_gc == 0:
         return _rd().from_arrow(out_schema.empty_table())
-    joined = gc.join(tot, "inner", num_partitions=jp,
+    joined = gc.join(tot, "inner",
+                     num_partitions=_join_partitions(join_partitions,
+                                                     approx_rows=n_gc),
                      on=("expert_id",))
 
     def score(t: pa.Table) -> pa.Table:
