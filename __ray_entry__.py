@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "payload_meta": multimodal.payload_meta,
         "payload_features": multimodal.payload_features,
+        # video-style decode -> resize -> frame-sample chain (stubbed
+        # codecs, real Ray layout; rows-only, pytest-pinned)
+        "payload_frames": multimodal.payload_frames,
         # the crawl pipeline itself (verified vs serial oracle in pytest;
         # rows-only here — inputs are the self-generated corpus, not sf_dir)
         "crawl_trace": _crawl_trace,

@@ -14,6 +14,12 @@ The payload here is the document text encoded as bytes (a stand-in for an
 image/audio blob of realistic size); batches stay small because binary
 rows are wide (the batch_size=64 below is the knob that matters at 100 TB
 with MB-scale blobs — per the memory-aware sizing rule).
+
+Stage inventory: ``attach_payload`` (blob column), ``FakeDecode`` /
+``RealImageDecode`` (decode actor pool), ``FakeResize`` (resize actor
+pool), ``frame_sample_batch`` (row-expanding frame sampler), composed
+into the ``payload_meta`` / ``payload_features`` / ``payload_frames``
+driver queries.
 """
 
 from __future__ import annotations
@@ -24,7 +30,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["attach_payload", "FakeDecode", "RealImageDecode",
-           "payload_meta", "payload_features"]
+           "FakeResize", "frame_sample_batch", "payload_meta",
+           "payload_features", "payload_frames"]
 
 
 def _rd():
@@ -111,3 +118,78 @@ def payload_features(sf_dir: str):
                                pa.array(feats, pa.list_(pa.float32()))))
 
     return ds.map_batches(features, batch_format="pyarrow")
+
+
+class FakeResize:
+    """Resize stand-in with the real stage's exact shape: target dims
+    fixed at actor construction (a real resizer opens its PIL/libvips
+    handle here, once per actor), per-batch work in ``__call__``.  The
+    stand-in emits a deterministic byte budget proportional to the
+    target area so output size scales the way a real resize does."""
+
+    def __init__(self, width: int = 224, height: int = 224):
+        self.width = width
+        self.height = height
+        self._h = hashlib.blake2b  # "codec handle" loaded once
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_out = max(8, (self.width * self.height) // 256)
+        outs = []
+        for p in t["payload"].to_pylist():
+            seed = self._h(p, digest_size=8).digest()
+            outs.append((seed * (-(-n_out // 8)))[:n_out])
+        t = t.drop_columns(["payload"])
+        return (t.append_column("payload", pa.array(outs, pa.binary()))
+                .append_column("out_width",
+                               pa.array([self.width] * len(outs),
+                                        pa.int32()))
+                .append_column("out_height",
+                               pa.array([self.height] * len(outs),
+                                        pa.int32())))
+
+
+def frame_sample_batch(t: pa.Table, max_frames: int = 3) -> pa.Table:
+    """Frame sampling as a row-expanding batch transform: each decoded
+    payload (with its ``n_frames`` from the decode stage) emits up to
+    ``max_frames`` rows — evenly strided frame indices, a deterministic
+    byte slice per frame standing in for the decoded frame.  The layout
+    (one output row per frame, doc_id carried through, small batches
+    upstream) is the real 100-TB shape; only the slice is fake."""
+    ids, fidx, frames = [], [], []
+    payloads = t["payload"].to_pylist()
+    nfs = t["n_frames"].to_pylist()
+    doc_ids = t["doc_id"].to_pylist()
+    for doc_id, p, nf in zip(doc_ids, payloads, nfs):
+        nf = max(1, int(nf))
+        take = min(nf, max_frames)
+        # evenly spaced, first frame always included
+        step = nf / take
+        chunk = max(1, len(p) // nf)
+        for j in range(take):
+            i = int(j * step)
+            ids.append(doc_id)
+            fidx.append(i)
+            frames.append(p[i * chunk:(i + 1) * chunk])
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "frame_idx": pa.array(fidx, pa.int32()),
+        "frame": pa.array(frames, pa.binary())})
+
+
+def payload_frames(sf_dir: str, max_frames: int = 3):
+    """Video-style pipeline: payload -> FakeDecode actor pool ->
+    resize actor pool -> frame sampling (row-expanding).  Rows-only
+    (decode/resize are the stubbed steps); schema and per-doc frame
+    counts are pytest-pinned.  Output: (doc_id, frame_idx, frame)."""
+    ds = attach_payload(sf_dir)
+    # two chained actor pools: fractional num_cpus so the chain plus
+    # the read tasks fit a small session (2 full-CPU pools deadlock a
+    # 4-CPU cluster); a real codec would size num_cpus to its decode
+    # cost instead
+    ds = ds.map_batches(FakeDecode, batch_format="pyarrow",
+                        batch_size=64, concurrency=2, num_cpus=0.5)
+    ds = ds.map_batches(FakeResize, batch_format="pyarrow",
+                        batch_size=64, concurrency=2, num_cpus=0.5)
+    return ds.map_batches(
+        lambda t: frame_sample_batch(t, max_frames=max_frames),
+        batch_format="pyarrow")

@@ -80,3 +80,58 @@ class TestMultimodal:
         from crawler_ray.ops.multimodal import RealImageDecode
         with pytest.raises(NotImplementedError):
             RealImageDecode()
+
+    def test_frame_sample_rows_and_determinism(self):
+        """frame_sample_batch: one row per sampled frame, first frame
+        always present, counts = min(n_frames, max_frames)."""
+        import pyarrow as pa
+
+        from crawler_ray.ops.multimodal import frame_sample_batch
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array([b"x" * 100, b"y" * 64, b"z"],
+                                pa.binary()),
+            "n_frames": pa.array([7, 2, 1], pa.int32())})
+        out = frame_sample_batch(t, max_frames=3)
+        per_doc = out.to_pandas().groupby("doc_id")["frame_idx"].agg(list)
+        assert per_doc[1] == [0, 2, 4]   # stride 7/3 -> floor(j*2.33)
+        assert per_doc[2] == [0, 1]
+        assert per_doc[3] == [0]
+        # frames are non-overlapping slices of the payload
+        f = out.to_pandas()
+        d1 = f[f.doc_id == 1]["frame"].tolist()
+        assert all(len(x) == 100 // 7 for x in d1)
+        assert frame_sample_batch(t, max_frames=3).equals(out)
+
+    def test_payload_frames_pipeline(self):
+        """decode -> resize -> frame-sample end-to-end over Ray: stable
+        schema, per-doc counts bounded by max_frames, deterministic."""
+        from crawler_ray.ops import multimodal
+        a = multimodal.payload_frames(SF, max_frames=3).to_pandas()
+        b = multimodal.payload_frames(SF, max_frames=3).to_pandas()
+        key = ["doc_id", "frame_idx"]
+        a2 = a.sort_values(key).reset_index(drop=True)
+        assert a2.equals(b.sort_values(key).reset_index(drop=True))
+        assert list(a.columns) == ["doc_id", "frame_idx", "frame"]
+        counts = a.groupby("doc_id").size()
+        assert counts.between(1, 3).all()
+        assert (a.groupby("doc_id")["frame_idx"].min() == 0).all()
+        # resize stage fixes the byte budget upstream of sampling:
+        # every doc's payload had the same resized length
+        meta = multimodal.payload_meta(SF).to_pandas()
+        assert len(counts) == len(meta)
+
+    def test_fake_resize_shape(self):
+        import pyarrow as pa
+
+        from crawler_ray.ops.multimodal import FakeResize
+        rs = FakeResize(width=64, height=32)
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([b"abc"], pa.binary())})
+        out = rs(t)
+        assert out["out_width"][0].as_py() == 64
+        assert out["out_height"][0].as_py() == 32
+        assert len(out["payload"][0].as_py()) == (64 * 32) // 256
+        # deterministic across instances (setup state is per-actor but
+        # content depends only on payload + target dims)
+        assert FakeResize(64, 32)(t).equals(out)
