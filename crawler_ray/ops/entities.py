@@ -69,7 +69,6 @@ def experts_table(items_path: str, join_partitions: int | None = None):
     from ray.data.aggregate import Count, Min
 
     from crawler_ray.ops.dedup import _join_partitions, _join_ready
-    jp = _join_partitions(join_partitions)
 
     ds = _rd().read_parquet(items_path,
                             columns=["url", "author", "content_type"])
@@ -95,7 +94,8 @@ def experts_table(items_path: str, join_partitions: int | None = None):
     # no shards for empty blocks, and the aggregator then joins against
     # a schema-less table) — when one side has no rows the join result
     # is known anyway, so short-circuit it
-    if prof.count() == 0:
+    n_prof = prof.count()  # cheap: _join_ready materialized both sides
+    if n_prof == 0:
         return _rd().from_arrow(pa.schema(
             [("name", pa.string()), ("profile_url", pa.string()),
              ("n_profiles", pa.int64()),
@@ -103,8 +103,11 @@ def experts_table(items_path: str, join_partitions: int | None = None):
     if counts.count() == 0:
         joined = prof
     else:
-        joined = prof.join(counts, "left_outer", num_partitions=jp,
-                           on=("name",), right_on=("expert_name",))
+        joined = prof.join(
+            counts, "left_outer",
+            num_partitions=_join_partitions(join_partitions,
+                                            approx_rows=n_prof),
+            on=("name",), right_on=("expert_name",))
 
     def fill(t: pa.Table) -> pa.Table:
         if "answers_count" in t.column_names:
@@ -149,7 +152,6 @@ def expert_domain_table(items_path: str,
     from ray.data.aggregate import Count, Sum
 
     from crawler_ray.ops.dedup import _join_partitions, _join_ready
-    jp = _join_partitions(join_partitions)
 
     ds = _rd().read_parquet(items_path,
                             columns=["author", "content_type",
@@ -181,9 +183,12 @@ def expert_domain_table(items_path: str,
     out_schema = pa.schema(
         [("expert_name", pa.string()), ("domain", pa.string()),
          ("n_answers", pa.int64()), ("confidence_milli", pa.int64())])
-    if gc.count() == 0:
+    n_gc = gc.count()  # cheap: _join_ready materialized the aggregate
+    if n_gc == 0:
         return _rd().from_arrow(out_schema.empty_table())
-    joined = gc.join(tot, "inner", num_partitions=jp,
+    joined = gc.join(tot, "inner",
+                     num_partitions=_join_partitions(join_partitions,
+                                                     approx_rows=n_gc),
                      on=("expert_name",))
 
     def score(t: pa.Table) -> pa.Table:
