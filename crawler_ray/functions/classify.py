@@ -194,13 +194,19 @@ def content_type_scores(text: str) -> dict[str, float]:
                            _TYPE_MULTI, _TYPE_SIZES)
 
 
-def classify_text(text: str) -> dict:
+def classify_text(text: str, normalized: str | None = None) -> dict:
     """Classification record in the reference's result shape
     (``core/classifier.py:416-438``: text_summary + content_type block +
     domains block).  Normalizes and tokenizes the text ONCE for both
-    score families (the hot path of the extract stage)."""
+    score families (the hot path of the extract stage).
+
+    ``normalized``: the precomputed ``normalize_persian_text(text)`` when
+    the caller already has it (normalization is deterministic, so the
+    result is byte-identical; the extract stage shares one normalization
+    between classification and the similarity hash)."""
     if text:
-        normed = normalize_persian_text(text)
+        normed = (normalized if normalized is not None
+                  else normalize_persian_text(text))
         tokens = _WORD_RUN.findall(normed)
         ct_scores = _keyword_scores(normed, CONTENT_TYPE_KEYWORDS,
                                     _TYPE_SINGLE, _TYPE_MULTI,

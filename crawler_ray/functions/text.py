@@ -131,7 +131,8 @@ def calculate_text_hash(text: str | None, method: str = "md5") -> str | None:
     return hashlib.md5(data).hexdigest()
 
 
-def similarity_hash(content: str | None, method: str = "md5") -> str | None:
+def similarity_hash(content: str | None, method: str = "md5", *,
+                    normalized: str | None = None) -> str | None:
     """Dedup key: md5 of the first 1000 chars of the normalized content.
 
     Parity with ``models/content.py:70-102`` (``calculate_similarity_hash``).
@@ -143,15 +144,22 @@ def similarity_hash(content: str | None, method: str = "md5") -> str | None:
     4x prefix and requiring ≥1001 normalized chars — falling back to the
     full text otherwise — produces the identical signature at a fraction
     of the cost on large pages.
+
+    ``normalized``: the full ``normalize_persian_text(content)`` when the
+    caller already has it (the extract stage normalizes once and shares it
+    with classification).  By the same streaming-local argument, the full
+    normalization's first 1000 chars equal the prefix path's, so the
+    signature is identical either way.
     """
     if not content:
         return None
-    if len(content) > 4000:
-        normalized = normalize_persian_text(content[:4000])
-        if len(normalized) < 1001:
+    if normalized is None:
+        if len(content) > 4000:
+            normalized = normalize_persian_text(content[:4000])
+            if len(normalized) < 1001:
+                normalized = normalize_persian_text(content)
+        else:
             normalized = normalize_persian_text(content)
-    else:
-        normalized = normalize_persian_text(content)
     signature = normalized[:1000]
     data = signature.encode("utf-8")
     if method == "sha256":

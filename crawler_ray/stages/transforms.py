@@ -17,7 +17,8 @@ from crawler_ray.functions.classify import classify_text
 from crawler_ray.functions.extract import extract_links, extract_page
 from crawler_ray.functions.patterns import URLPatternClassifier
 from crawler_ray.functions.priority import PriorityPolicyManager
-from crawler_ray.functions.text import similarity_hash
+from crawler_ray.functions.text import (normalize_persian_text,
+                                        similarity_hash)
 from crawler_ray.functions.urls import (host_hash64_batch,
                                         normalize_url_batch, url_sha1_batch)
 
@@ -195,12 +196,20 @@ def extract_classify_batch(batch: pa.Table, ner_enabled: bool = False,
         cols["entities_json"].append(json.dumps(rec["entities"],
                                                 ensure_ascii=False,
                                                 sort_keys=True))
-        cols["similarity_hash"].append(similarity_hash(rec["content"]))
         if classify:
-            cls = classify_text(rec["content"])
+            # normalize ONCE per page and share: the similarity hash and
+            # both classifier score families consume the same normalized
+            # text (identical results — see similarity_hash's docstring
+            # for the prefix/full equivalence argument)
+            normed = normalize_persian_text(rec["content"])
+            cols["similarity_hash"].append(
+                similarity_hash(rec["content"], normalized=normed))
+            cls = classify_text(rec["content"], normalized=normed)
             cols["content_type"].append(cls["content_type"]["content_type"])
             cols["domains"].append(cls["domains"]["domains"])
         else:
+            # no classification -> the cheaper prefix-normalize path
+            cols["similarity_hash"].append(similarity_hash(rec["content"]))
             cols["content_type"].append("other")
             cols["domains"].append([])
         cols["links"].append(raw_links)

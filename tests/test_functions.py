@@ -74,6 +74,27 @@ class TestPersianText:
         assert similarity_hash(long) == hashlib.md5(b"x" * 1000).hexdigest()
         assert similarity_hash("a b") == similarity_hash("a  b")
 
+    def test_similarity_hash_precomputed_normalization_identical(self):
+        # the extract stage normalizes the FULL content once and passes it
+        # via normalized=;  the signature must be byte-identical to the
+        # prefix-normalize path for every boundary shape
+        cases = [
+            "short text",
+            "x" * 2000,
+            # whitespace run spanning the 4000-char prefix boundary
+            ("w " * 1995) + "   \t\n   " + ("y " * 3000),
+            # combining mark right at the boundary
+            ("a" * 3999) + "́" + ("b" * 3000),
+            # Arabic chars needing the char map, long enough to truncate
+            ("ملك علي ١٢٣ " + "متن " * 2000),
+            # long raw text that normalizes to < 1001 chars (fallback path)
+            ("z" + " " * 50) * 200,
+        ]
+        for content in cases:
+            full_norm = normalize_persian_text(content)
+            assert (similarity_hash(content, normalized=full_norm)
+                    == similarity_hash(content)), content[:50]
+
     def test_is_similar_content(self):
         assert is_similar_content("abc def", "abc  def")
         assert not is_similar_content("abc", "abc def ghi jkl mno")
