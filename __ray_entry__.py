@@ -90,6 +90,36 @@ def _crawl_host_rates(sf_dir: str):
                         columns=["host", "fetch_vts"]))
 
 
+def _crawl_failed_urls(sf_dir: str):
+    """Failed-URL side view with attempt counts (M26; reference
+    ``CrawlState.add_failed``/``should_retry``, core/crawler.py:224-333).
+    Column-pruned read of the extracted spill, per-block vectorized
+    partial counts, tiny final merge — failure cardinality ≪ page
+    cardinality, so only the per-URL attempts land anywhere central.
+    Rows-only: input is the crawl output (no SQL twin)."""
+    import pyarrow as pa
+
+    from crawler_ray.state.failures import failed_urls_table
+
+    summary = _crawl_summary()
+    import glob
+    files = sorted(f for d in summary.get("extracted_dirs", [])
+                   if os.path.isdir(d)
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    import ray.data as rd
+    ds = rd.read_parquet(files, columns=["url_norm", "fetch_ok"])
+    parts = ds.map_batches(failed_urls_table, batch_format="pyarrow")
+    t = parts.to_arrow_refs()
+    import ray as _ray
+    tables = [x for x in _ray.get(t) if x.num_rows]
+    if not tables:
+        return pa.table({"url_norm": pa.array([], pa.string()),
+                         "attempts": pa.array([], pa.int64())})
+    merged = pa.concat_tables(tables)
+    return (merged.group_by("url_norm").aggregate([("attempts", "sum")])
+            .rename_columns(["url_norm", "attempts"]).sort_by("url_norm"))
+
+
 def _crawl_experts(sf_dir: str):
     """Expert entities from the crawled corpus (reference
     database/schema.py:48-61; rows-only — input is the crawl output)."""
@@ -176,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trace": _crawl_trace,
         "crawl_content_items": _crawl_content_items,
         "crawl_host_rates": _crawl_host_rates,
+        "crawl_failed_urls": _crawl_failed_urls,
         # entity surface over the crawl output (experts/answers/link
         # tables; semantics pytest-pinned in tests/test_entities.py)
         "crawl_experts": _crawl_experts,

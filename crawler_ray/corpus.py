@@ -145,6 +145,10 @@ def _plan_host(host: str, n_pages: int, seed: int) -> list[dict]:
             "kind": "post", "host": host, "url": f"{base}/post/{i}-{slug}",
             "post_id": i, "cat": cats[i % n_cats], "lang": lang,
             "dup_of": dup_of,
+            # every 17th post cites a URL that is never rendered: the
+            # deterministic 404 population that exercises the fetch-miss /
+            # failed-URL bookkeeping (M26) — real crawls always have them
+            "broken_url": (f"{base}/missing/{i}" if i % 17 == 0 else None),
         })
     post_urls = [p["url"] for p in posts]
 
@@ -294,6 +298,8 @@ def render_page(plan: dict, seed: int = 42, page_scale: int = 1) -> dict:
         related = "".join(f'<a href="{u}">related {i}</a>'
                           for i, u in enumerate(plan.get("related_urls", [])))
         cat_link = f'<a href="{base}/category/{plan["cat"]}/">back</a>'
+        if plan.get("broken_url"):
+            cat_link += f'<a href="{plan["broken_url"]}">source</a>'
         html = (f"<html><head><title>{title_txt} | {site_word}</title>"
                 f"{meta_bits}{head_extra}</head><body>"
                 f"<header><h2>{site_word}</h2></header>{nav}"
@@ -493,7 +499,7 @@ def generate_corpus(out_dir: str, n_pages: int = 1000, n_hosts: int = 1,
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
     params = {"n_pages": n_pages, "n_hosts": n_hosts, "seed": seed,
-              "page_scale": page_scale, "version": 4}
+              "page_scale": page_scale, "version": 5}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             old = json.load(f)

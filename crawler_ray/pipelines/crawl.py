@@ -40,6 +40,7 @@ from dataclasses import dataclass, field
 from urllib.parse import urlparse
 
 import pyarrow as pa
+import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from crawler_ray.functions.patterns import (URLPatternClassifier,
@@ -233,6 +234,45 @@ class CrawlEngine:
             return run_wave_mode(self, resume=resume)
         raise ValueError(f"unknown mode {mode!r}")
 
+    def failed_state(self, summary: dict):
+        """The failure bookkeeping surface (M26): a ``FailedUrlState``
+        with ``was_failed`` / ``should_retry`` over the run's failures,
+        matching the reference's ``CrawlState`` API
+        (``core/crawler.py:224-333``).
+
+        Strict mode reads the ``failed.parquet`` side table (carries
+        errors); wave mode aggregates ``fetch_ok=False`` rows from the
+        extracted spill — column-pruned read, vectorized counts, only
+        the per-URL attempts map ever lands on the driver."""
+        from crawler_ray.state.failures import (FailedUrlState,
+                                                failed_urls_table)
+        fp = summary.get("failed_path")
+        if fp and os.path.exists(fp):
+            return FailedUrlState.from_table(pq.read_table(fp))
+        tables = []
+        for d in summary.get("extracted_dirs", []):
+            if not os.path.isdir(d):
+                continue
+            t = pads.dataset(d).to_table(columns=["url_norm", "fetch_ok"])
+            agg = failed_urls_table(t)
+            if agg.num_rows:
+                tables.append(agg)
+        if not tables:
+            return FailedUrlState()
+        merged = pa.concat_tables(tables)
+        # re-merge per-dir counts (a URL can only fail once per wave run,
+        # but resumed/overlapping spills may repeat it)
+        df = merged.group_by("url_norm").aggregate([("attempts", "sum")])
+        st = FailedUrlState()
+        for u, c in zip(df["url_norm"].to_pylist(),
+                        df["attempts_sum"].to_pylist()):
+            st.failed_urls[u] = {"attempts": int(c), "first_attempt": 1,
+                                 "last_attempt": int(c),
+                                 "last_error": "fetch miss",
+                                 "last_status_code": None}
+            st.stats["failed_urls"] += int(c)
+        return st
+
     # -- strict mode --------------------------------------------------------
     def _run_strict(self, resume: bool = False) -> dict:
         import ray
@@ -408,10 +448,23 @@ class CrawlEngine:
             order_of={t["url_norm"]: t["order"] for t in trace})
         stats["visited"] = len(trace)
         stats["seen"] = len(seen)
+        # failed side table (M26): one row per failed attempt, the
+        # on-disk form of the reference's CrawlState.failed_urls map
+        # (core/crawler.py:224-259); consumed by failed_state()
+        failed_path = os.path.join(out_dir, "failed.parquet")
+        pq.write_table(pa.Table.from_pydict({
+            "url_norm": pa.array([r["url_norm"] for r in failed],
+                                 pa.string()),
+            "job_type": pa.array([r.get("job_type") for r in failed],
+                                 pa.string()),
+            "error": pa.array([r.get("error") for r in failed],
+                              pa.string()),
+        }), failed_path)
         all_ext = (([extracted_dir] if os.path.isdir(extracted_dir)
                     else []) + prefetch_ext)
         summary = {"mode": "strict", "stats": stats,
                    "trace_path": trace_path,
+                   "failed_path": failed_path,
                    "extracted_dirs": all_ext,
                    "content_items": items_path}
         with open(os.path.join(out_dir, "summary.json"), "w") as f:
