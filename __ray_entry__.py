@@ -637,7 +637,53 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bytes
             FROM documents
         """,
-        # minhash_pairs / minhash_dedup_keep / simhash_pairs /
+        # SimHash is fully SQL-expressible because the engine's token
+        # hash IS DuckDB's md5 low-64 (ops/dedup.py:_SimHasher): tokenize
+        # (RE2 [\p{L}\p{N}_]+ == Python \w+ on L*/N*/_ text), per-distinct
+        # -token count-weighted bit votes, 4x16-bit pigeonhole bands,
+        # popcount verify.
+        "simhash_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[\p{L}\p{N}_]+')) AS tok
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                           AS h,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY doc_id, tok
+            ), bits AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN c
+                                ELSE -c END) AS vote
+                FROM tc CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ), sims0 AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit)
+                                     ELSE 0 END) AS UBIGINT) AS sim
+                FROM bits GROUP BY doc_id
+            ), sims AS (
+                SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
+                FROM documents d LEFT JOIN sims0 s USING (doc_id)
+            ), bands AS (
+                SELECT doc_id, sim, b.band,
+                       (sim >> (16 * b.band)) & 65535 AS key
+                FROM sims CROSS JOIN (SELECT unnest(range(4)) AS band) b
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sim AS sim_a, b.sim AS sim_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        """,
+        # minhash_pairs / minhash_dedup_keep /
         # fingerprints / knn_ivf / payload_features / crawl_trace /
         # crawl_content_items: not SQL-expressible (LSH internals,
         # engine-specific hashes, iterative crawl) -> rows-only checks;

@@ -461,20 +461,55 @@ def minhash_dedup_keep(sf_dir: str, max_rounds: int = 64,
 # ---------------------------------------------------------------------------
 
 class _SimHasher:
+    """Per-doc 64-bit SimHash.
+
+    Token hash is the md5 low-64 (first 8 digest bytes, big-endian) —
+    bit-identical to DuckDB's ``('0x'||substr(md5(tok),1,16))::UBIGINT``,
+    which makes the whole operator SQL-twinnable (see the
+    ``simhash_pairs`` oracle in ``__ray_entry__``).  Votes are weighted
+    by token occurrence count over DISTINCT tokens, so each distinct
+    token is hashed once per actor lifetime: the vocabulary cache
+    amortizes the md5 to ~zero on Zipf webtext (stateful-actor pattern;
+    bounded so a 100-TB shard cannot grow it without limit).
+
+    Tokenization is Python ``\\w+`` on the lowercased text; the SQL twin
+    uses RE2 ``[\\p{L}\\p{N}_]+``.  Both are letters+digits+underscore
+    (Unicode categories L*/N*); they can only diverge on exotic
+    word-character categories (combining marks inside words), verified
+    absent from the test tables.
+    """
+
+    _CACHE_MAX = 2_000_000  # distinct tokens per actor before reset
+
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
+        self._cache: dict[str, int] = {}
+        self._shifts = np.arange(64, dtype=np.uint64)
 
-    @staticmethod
-    def simhash64(text: str) -> int:
+    def simhash64(self, text: str) -> int:
+        from collections import Counter
+
         toks = _WORD_RE.findall(text.lower())
         if not toks:
             return 0
-        h = _token_hashes(toks)
-        shifts = np.arange(64, dtype=np.uint64)
-        # (n_tokens, 64) bit matrix -> per-bit vote in one reduction
-        bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
-        votes = 2 * bits.astype(np.int64).sum(axis=0) - len(toks)
+        tc = Counter(toks)
+        cache = self._cache
+        if len(cache) > self._CACHE_MAX:
+            cache.clear()
+        hs = np.empty(len(tc), dtype=np.uint64)
+        cs = np.empty(len(tc), dtype=np.int64)
+        for k, (tok, c) in enumerate(tc.items()):
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                cache[tok] = h
+            hs[k] = h
+            cs[k] = c
+        # (n_distinct, 64) bit matrix -> count-weighted vote per bit
+        bits = (hs[:, None] >> self._shifts[None, :]) & np.uint64(1)
+        votes = ((2 * bits.astype(np.int64) - 1) * cs[:, None]).sum(axis=0)
         out = 0
         for i in np.nonzero(votes > 0)[0]:
             out |= (1 << int(i))
