@@ -683,8 +683,71 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE bit_count(xor(sim_a, sim_b)) <= 3
         """,
+        # Winnowing reproduced bit-exactly in SQL: byte-level k-gram FNV
+        # polynomial (power constants mod 2^64 inlined as literals, terms
+        # summed in HUGEINT then wrapped), splitmix64 via 32-bit-limb
+        # multiply-mod-2^64, window-min over a 4-wide frame, distinct
+        # selected mins per doc.  Mirrors ops/textstats.py:_Winnower with
+        # k=8, window=4 — the engine hash is NOT changed for the oracle;
+        # the oracle reimplements it.
+        "fingerprints": """
+            WITH raw AS (SELECT doc_id, encode(text) AS data0
+                         FROM documents),
+            padded AS (SELECT doc_id,
+                CASE WHEN octet_length(data0) < 8
+                     THEN data0 || repeat('\\x00'::BLOB,
+                                          8 - octet_length(data0))
+                     ELSE data0 END AS data FROM raw),
+            hx AS (SELECT doc_id, hex(data) AS h,
+                          octet_length(data) AS n FROM padded),
+            pos AS (SELECT doc_id, h, unnest(range(1, n - 8 + 2)) AS p
+                    FROM hx),
+            gram AS (SELECT doc_id, p, CAST((
+                  ('0x'||substr(h, 2*(p+0)-1, 2))::UBIGINT::HUGEINT
+                      * 14218562807570617051
+                + ('0x'||substr(h, 2*(p+1)-1, 2))::UBIGINT::HUGEINT
+                      * 15895002104753931833
+                + ('0x'||substr(h, 2*(p+2)-1, 2))::UBIGINT::HUGEINT
+                      * 913917546033277539
+                + ('0x'||substr(h, 2*(p+3)-1, 2))::UBIGINT::HUGEINT
+                      * 11527715348014283921
+                + ('0x'||substr(h, 2*(p+4)-1, 2))::UBIGINT::HUGEINT
+                      * 624165263380053675
+                + ('0x'||substr(h, 2*(p+5)-1, 2))::UBIGINT::HUGEINT
+                      * 956575116354345
+                + ('0x'||substr(h, 2*(p+6)-1, 2))::UBIGINT::HUGEINT
+                      * 1099511628211
+                + ('0x'||substr(h, 2*(p+7)-1, 2))::UBIGINT::HUGEINT
+                ) % 18446744073709551616 AS UBIGINT) AS g FROM pos),
+            s1 AS (SELECT doc_id, p,
+                CAST((g::HUGEINT + 11400714819323198485)
+                     % 18446744073709551616 AS UBIGINT) AS z FROM gram),
+            s2 AS (SELECT doc_id, p, xor(z, z >> 30) AS z FROM s1),
+            s3 AS (SELECT doc_id, p, CAST((
+                (z % 4294967296)::HUGEINT * 13787848793156543929
+                + ((((z >> 32)::HUGEINT * 484763065) % 4294967296)
+                   * 4294967296)
+                ) % 18446744073709551616 AS UBIGINT) AS z FROM s2),
+            s4 AS (SELECT doc_id, p, xor(z, z >> 27) AS z FROM s3),
+            s5 AS (SELECT doc_id, p, CAST((
+                (z % 4294967296)::HUGEINT * 10723151780598845931
+                + ((((z >> 32)::HUGEINT * 321982955) % 4294967296)
+                   * 4294967296)
+                ) % 18446744073709551616 AS UBIGINT) AS z FROM s4),
+            hashed AS (SELECT doc_id, p, xor(z, z >> 31) AS hv FROM s5),
+            wm AS (SELECT doc_id, p,
+                    min(hv) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                    count(*) OVER (PARTITION BY doc_id) AS n_h
+                   FROM hashed),
+            sel AS (SELECT DISTINCT doc_id, m FROM wm
+                    WHERE p <= greatest(1, n_h - 4 + 1))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+                   min(m) AS min_fingerprint
+            FROM sel GROUP BY doc_id
+        """,
         # minhash_pairs / minhash_dedup_keep /
-        # fingerprints / knn_ivf / payload_features / crawl_trace /
+        # knn_ivf / payload_features / crawl_trace /
         # crawl_content_items: not SQL-expressible (LSH internals,
         # engine-specific hashes, iterative crawl) -> rows-only checks;
         # their semantics are pytest-verified against oracles in tests/.
