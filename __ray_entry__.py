@@ -226,6 +226,133 @@ _SYNTH_URL_SQL = """
 """
 
 
+def _sm64_ctes(prefix: str, src: str, carry: str, x: str,
+               out: str) -> tuple[str, str]:
+    """CTE chain applying splitmix64 to column ``x`` of CTE ``src``
+    (producing column ``out``), carrying ``carry`` columns through.
+    64x64-bit multiplies run as 32-bit-limb multiply-mod-2^64 in
+    HUGEINT; every step is +/xor/shift, matching
+    ``crawler_ray.ops.dedup._splitmix64`` bit for bit (same construction
+    as the ``fingerprints`` oracle).  Returns (cte_text, final_name)."""
+    c1, c2, c3, c4, fin = (f"{prefix}_s1", f"{prefix}_s2", f"{prefix}_s3",
+                           f"{prefix}_s4", f"{prefix}_f")
+    text = f"""
+            {c1} AS (SELECT {carry},
+                CAST(({x}::HUGEINT + 11400714819323198485)
+                     % 18446744073709551616 AS UBIGINT) AS z FROM {src}),
+            {c2} AS (SELECT {carry}, xor(z, z >> 30) AS z FROM {c1}),
+            {c3} AS (SELECT {carry}, CAST((
+                (z % 4294967296)::HUGEINT * 13787848793156543929
+                + ((((z >> 32)::HUGEINT * 484763065) % 4294967296)
+                   * 4294967296)
+                ) % 18446744073709551616 AS UBIGINT) AS z FROM {c2}),
+            {c4} AS (SELECT {carry}, xor(z, z >> 27) AS z FROM {c3}),
+            {fin} AS (SELECT {carry}, xor(CAST((
+                (z % 4294967296)::HUGEINT * 10723151780598845931
+                + ((((z >> 32)::HUGEINT * 321982955) % 4294967296)
+                   * 4294967296)
+                ) % 18446744073709551616 AS UBIGINT),
+                CAST((
+                (z % 4294967296)::HUGEINT * 10723151780598845931
+                + ((((z >> 32)::HUGEINT * 321982955) % 4294967296)
+                   * 4294967296)
+                ) % 18446744073709551616 AS UBIGINT) >> 31) AS {out}
+                FROM {c4})"""
+    return text, fin
+
+
+def _minhash_pairs_oracle_sql(num_perm: int = 128, bands: int = 32,
+                              shingle_k: int = 5,
+                              threshold_milli: int = 500) -> str:
+    """DuckDB twin of ``ops/dedup.py:minhash_lsh_pairs``, replaying the
+    engine's hash family exactly: md5-low64 token hashes, the
+    splitmix64-xor shingle fold, xor-seed permutations
+    (``splitmix64(s ^ splitmix64(i+1))``), per-perm minima, banding by
+    the exact per-band signature values (the engine's 64-bit band-bucket
+    hash is injective modulo negligible collisions, which only ever ADD
+    candidates that the signature verify then scores identically), and
+    the matches*1000//num_perm >= threshold verify."""
+    r = num_perm // bands
+    parts = ["WITH arrs AS (SELECT doc_id,"
+             r" regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS a0"
+             " FROM documents),",
+             f"""
+            padded AS (SELECT doc_id,
+                CASE WHEN len(a0) < {shingle_k}
+                     THEN list_resize(a0, {shingle_k}, '_')
+                     ELSE a0 END AS arr FROM arrs),
+            toks AS (SELECT doc_id, unnest(arr) AS tok,
+                            unnest(range(1, len(arr) + 1)) AS ord
+                     FROM padded),
+            th AS (SELECT doc_id, ord,
+                          ('0x'||substr(md5(tok),1,16))::UBIGINT AS h
+                   FROM toks),
+            woff AS (SELECT doc_id, ord, h AS acc0,"""
+             + ",".join(
+                 f" lead(h, {j}) OVER (PARTITION BY doc_id ORDER BY ord)"
+                 f" AS h{j}" for j in range(1, shingle_k))
+             + """,
+                          count(*) OVER (PARTITION BY doc_id) AS n
+                   FROM th),"""
+             + f"""
+            wvalid AS (SELECT * FROM woff
+                       WHERE ord <= n - {shingle_k - 1}),"""]
+    # shingle fold: acc = sm(acc) ^ h_next, repeated, then a final sm
+    src = "wvalid"
+    acc = "acc0"
+    for j in range(1, shingle_k):
+        carry = "doc_id, ord, " + ", ".join(
+            f"h{m}" for m in range(j, shingle_k))
+        text, fin = _sm64_ctes(f"fold{j}", src, carry, acc, "sm")
+        parts.append(text + ",")
+        parts.append(f"""
+            mix{j} AS (SELECT doc_id, ord,"""
+                     + "".join(f" h{m}," for m in range(j + 1, shingle_k))
+                     + f" xor(sm, h{j}) AS acc FROM {fin}),")
+        src, acc = f"mix{j}", "acc"
+    text, fin = _sm64_ctes("shfin", src, "doc_id, ord", acc, "s")
+    parts.append(text + ",")
+    parts.append(f"""
+            sh AS (SELECT DISTINCT doc_id, s FROM {fin}),
+            iidx AS (SELECT unnest(range({num_perm})) AS i),""")
+    text, fin = _sm64_ctes("seed", "(SELECT i, (i + 1)::UBIGINT AS ip"
+                           " FROM iidx)", "i", "ip", "seed")
+    parts.append(text + ",")
+    parts.append(f"""
+            seeds AS (SELECT i, seed FROM {fin}),
+            px AS (SELECT sh.doc_id, seeds.i,
+                          xor(sh.s, seeds.seed) AS x
+                   FROM sh CROSS JOIN seeds),""")
+    text, fin = _sm64_ctes("perm", "px", "doc_id, i", "x", "pv")
+    parts.append(text + ",")
+    parts.append(f"""
+            sig AS (SELECT doc_id, i, min(pv) AS minv
+                    FROM {fin} GROUP BY doc_id, i),
+            bandstr AS (SELECT doc_id, i // {r} AS band,
+                               string_agg(minv::VARCHAR, '-'
+                                          ORDER BY i) AS key
+                        FROM sig GROUP BY doc_id, i // {r}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a,
+                            b.doc_id AS doc_b
+                     FROM bandstr a JOIN bandstr b
+                       ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id),
+            scored AS (SELECT c.doc_a, c.doc_b,
+                              count(*) FILTER (sa.minv = sb.minv)
+                                  AS matches
+                       FROM cand c
+                       JOIN sig sa ON sa.doc_id = c.doc_a
+                       JOIN sig sb ON sb.doc_id = c.doc_b
+                                  AND sb.i = sa.i
+                       GROUP BY c.doc_a, c.doc_b)
+            SELECT doc_a, doc_b,
+                   CAST((matches * 1000) // {num_perm} AS BIGINT)
+                       AS est_jaccard_milli
+            FROM scored
+            WHERE (matches * 1000) // {num_perm} >= {threshold_milli}""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -746,7 +873,8 @@ def oracle_sql() -> dict[str, str]:
                    min(m) AS min_fingerprint
             FROM sel GROUP BY doc_id
         """,
-        # minhash_pairs / minhash_dedup_keep /
+        "minhash_pairs": _minhash_pairs_oracle_sql(),
+        # minhash_dedup_keep /
         # knn_ivf / payload_features / crawl_trace /
         # crawl_content_items: not SQL-expressible (LSH internals,
         # engine-specific hashes, iterative crawl) -> rows-only checks;

@@ -32,7 +32,6 @@ __all__ = ["exact_dedup", "similarity_dedup", "minhash_signatures",
            "minhash_lsh_pairs", "simhash_pairs", "embedding_dup_pairs",
            "minhash_dedup_keep", "ngram_jaccard_pairs"]
 
-_MERSENNE_P = (1 << 61) - 1
 _WORD_RE = re.compile(r"\w+")
 
 
@@ -100,11 +99,29 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 2_000_000
+
+
 def _token_hashes(tokens: list[str]) -> np.ndarray:
-    import zlib
-    h = np.fromiter((zlib.crc32(t.encode("utf-8")) for t in tokens),
-                    dtype=np.uint64, count=len(tokens))
-    return _splitmix64(h)
+    """md5 low-64 per token (== DuckDB's
+    ``('0x'||substr(md5(tok),1,16))::UBIGINT`` — the property that makes
+    every consumer SQL-twinnable), amortized by a per-process vocabulary
+    cache: each distinct token is hashed once per worker lifetime, so on
+    Zipf webtext the md5 cost tends to zero.  Bounded so a 100-TB shard
+    cannot grow the cache without limit."""
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > _TOKEN_HASH_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8],
+                               "big")
+            cache[t] = h
+        out[i] = h
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -163,18 +180,23 @@ def similarity_dedup(sf_dir: str):
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """64-bit hashes of k-word shingles (lowercased \\w+ tokens):
-    windowed polynomial over per-token hashes, fully vectorized."""
+    an order-sensitive splitmix64-xor fold over per-token hashes
+    (``acc = splitmix64(acc) ^ h_next``, finished with one more
+    splitmix64), fully vectorized — k-1 chained array passes.
+
+    The fold uses only xor and splitmix64 so a DuckDB oracle can
+    reproduce it step for step (see the minhash_pairs oracle in
+    ``__ray_entry__``); a multiply-based polynomial would wrap mod 2^64,
+    which SQL integer types cannot express."""
     toks = _WORD_RE.findall(text.lower())
     if len(toks) < k:
         toks = toks + ["_"] * (k - len(toks))
     th = _token_hashes(toks)
     win = np.lib.stride_tricks.sliding_window_view(th, k)
-    pows = np.empty(k, dtype=np.uint64)
-    pows[-1] = 1
-    with np.errstate(over="ignore"):
-        for i in range(k - 2, -1, -1):
-            pows[i] = pows[i + 1] * np.uint64(1099511628211)  # FNV prime
-        return _splitmix64((win * pows).sum(axis=1, dtype=np.uint64))
+    acc = win[:, 0]
+    for i in range(1, k):
+        acc = _splitmix64(acc) ^ win[:, i]
+    return _splitmix64(acc)
 
 
 class _MinHasher:
@@ -184,11 +206,13 @@ class _MinHasher:
 
     def __init__(self, num_perm: int = 128, shingle_k: int = 5,
                  id_col: str = "doc_id", text_col: str = "text"):
-        rng = np.random.RandomState(12345)
-        self.a = rng.randint(1, _MERSENNE_P, size=num_perm,
-                             dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE_P, size=num_perm,
-                             dtype=np.uint64)
+        # xor-mix permutation family: perm_i(s) = splitmix64(s ^ seed_i)
+        # with seed_i = splitmix64(i+1).  Deterministic with no RNG state,
+        # and — unlike the multiply-shift family wrapping mod 2^64 — every
+        # step is xor/shift/add, so the SQL oracle derives the identical
+        # seeds from range(num_perm) and replays the permutation exactly.
+        self.seeds = _splitmix64(
+            np.arange(1, num_perm + 1, dtype=np.uint64))
         self.num_perm = num_perm
         self.k = shingle_k
         self.id_col = id_col
@@ -196,11 +220,7 @@ class _MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         s = _shingle_hashes(text, self.k)
-        # multiply-shift universal hashing in native uint64 (mod 2^64 by
-        # wraparound) — vectorized, no object math; the permutation family
-        # is engine-internal so only determinism matters
-        with np.errstate(over="ignore"):
-            m = self.a[:, None] * s[None, :] + self.b[:, None]
+        m = _splitmix64(self.seeds[:, None] ^ s[None, :])
         return m.min(axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -479,12 +499,9 @@ class _SimHasher:
     absent from the test tables.
     """
 
-    _CACHE_MAX = 2_000_000  # distinct tokens per actor before reset
-
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
-        self._cache: dict[str, int] = {}
         self._shifts = np.arange(64, dtype=np.uint64)
 
     def simhash64(self, text: str) -> int:
@@ -494,19 +511,8 @@ class _SimHasher:
         if not toks:
             return 0
         tc = Counter(toks)
-        cache = self._cache
-        if len(cache) > self._CACHE_MAX:
-            cache.clear()
-        hs = np.empty(len(tc), dtype=np.uint64)
-        cs = np.empty(len(tc), dtype=np.int64)
-        for k, (tok, c) in enumerate(tc.items()):
-            h = cache.get(tok)
-            if h is None:
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-                cache[tok] = h
-            hs[k] = h
-            cs[k] = c
+        hs = _token_hashes(list(tc.keys()))  # md5-low64, vocab-cached
+        cs = np.fromiter(tc.values(), dtype=np.int64, count=len(tc))
         # (n_distinct, 64) bit matrix -> count-weighted vote per bit
         bits = (hs[:, None] >> self._shifts[None, :]) & np.uint64(1)
         votes = ((2 * bits.astype(np.int64) - 1) * cs[:, None]).sum(axis=0)
