@@ -353,6 +353,30 @@ def _minhash_pairs_oracle_sql(num_perm: int = 128, bands: int = 32,
     return "".join(parts)
 
 
+def _minhash_keep_oracle_sql(**kwargs) -> str:
+    """DuckDB twin of ``ops/dedup.py:minhash_dedup_keep``: the bit-exact
+    pairs oracle wrapped as a CTE, then connected components by a
+    recursive-CTE transitive closure over the undirected pair graph
+    (UNION set semantics terminates it), keep = doc_id == component min.
+    The engine computes the same fixpoint by distributed min-label
+    propagation; the closure here is the small-scale oracle equivalent."""
+    pairs = _minhash_pairs_oracle_sql(**kwargs)
+    head, body = pairs.split("WITH ", 1)
+    assert not head
+    ctes, final = body.rsplit("\n            SELECT doc_a, doc_b,", 1)
+    return ("WITH RECURSIVE " + ctes + """,
+            mh_pairs AS (
+            SELECT doc_a, doc_b,""" + final + """),
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+                      UNION SELECT doc_b, doc_a FROM mh_pairs),
+            reach AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+            SELECT s AS doc_id, s = least(s, min(d)) AS keep
+            FROM reach GROUP BY s""")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -874,7 +898,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sel GROUP BY doc_id
         """,
         "minhash_pairs": _minhash_pairs_oracle_sql(),
-        # minhash_dedup_keep /
+        "minhash_dedup_keep": _minhash_keep_oracle_sql(),
+        #
         # knn_ivf / payload_features / crawl_trace /
         # crawl_content_items: not SQL-expressible (LSH internals,
         # engine-specific hashes, iterative crawl) -> rows-only checks;
