@@ -55,7 +55,8 @@ class TextNode:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "seq",
+                 "_tag_index", "_class_index", "_mutated")
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None,
                  parent: "Element | None" = None):
@@ -63,6 +64,16 @@ class Element:
         self.attrs = attrs or {}
         self.children: list[Union["Element", TextNode]] = []
         self.parent = parent
+        # query-acceleration state (see _TreeBuilder): ``seq`` is the
+        # document pre-order number; the root of a parsed document carries
+        # ``_tag_index`` (tag -> elements in document order) and
+        # ``_class_index`` (elements with a class attribute, in order).
+        # ``_mutated`` flips on the first decompose() so index candidates
+        # get an attachment check only once the tree can disagree.
+        self.seq = 0
+        self._tag_index: dict[str, list["Element"]] | None = None
+        self._class_index: list["Element"] | None = None
+        self._mutated = False
 
     # -- tree construction -------------------------------------------------
     def _append_element(self, el: "Element") -> None:
@@ -130,10 +141,66 @@ class Element:
             parts = list(self._iter_text())
         return separator.join(parts)
 
+    def _index_candidates(self, name: NameFilter, attrs: dict | None,
+                          class_: ClassFilter
+                          ) -> Optional[list["Element"]]:
+        """Document-ordered superset of the elements a descendant scan
+        would visit, drawn from the parse-time indexes — or None when the
+        query shape (or a detached/unindexed tree) requires a full walk.
+
+        Valid because the tree only ever shrinks after parse (decompose;
+        no element is constructed or re-attached post-parse — attrs are
+        read-only too), so index order == current pre-order and a
+        parent-chain check decides membership under ``self`` exactly as
+        ``iter_descendants`` would."""
+        top = self
+        while top.parent is not None:
+            top = top.parent
+        idx = top._tag_index
+        if idx is None:
+            return None
+        if isinstance(name, str):
+            cand = idx.get(name, [])
+        elif name is not None:
+            lists = [idx.get(n, []) for n in name]
+            lists = [l for l in lists if l]
+            if len(lists) == 1:
+                cand = lists[0]
+            else:
+                cand = sorted((el for lst in lists for el in lst),
+                              key=lambda e: e.seq)
+        elif class_ is not None or (attrs and "class" in attrs):
+            cand = top._class_index or []
+        else:
+            return None  # unconstrained scan: index buys nothing
+        if self is top and not top._mutated:
+            return cand
+        out = []
+        for el in cand:
+            p = el.parent
+            while p is not None:
+                if p is self:
+                    out.append(el)
+                    break
+                p = p.parent
+        return out
+
     def find_all(self, name: NameFilter = None, attrs: dict | None = None,
                  class_: ClassFilter = None, id: ClassFilter = None,
                  href: bool | None = None, limit: int | None = None,
                  ) -> list["Element"]:
+        cand = self._index_candidates(name, attrs, class_)
+        if cand is not None:
+            if (attrs is None and class_ is None and id is None
+                    and href is None):
+                return cand[:limit] if limit is not None else list(cand)
+            out = []
+            for el in cand:
+                if _matches(el, name, attrs, class_, id, href):
+                    out.append(el)
+                    if limit is not None and len(out) >= limit:
+                        break
+            return out
         # fast path for the dominant query shape (single tag name, no
         # other filters): inline the tag test instead of a _matches call
         # per descendant — identical semantics, ~2x on deep documents
@@ -152,6 +219,12 @@ class Element:
     def find(self, name: NameFilter = None, attrs: dict | None = None,
              class_: ClassFilter = None, id: ClassFilter = None,
              href: bool | None = None) -> Optional["Element"]:
+        cand = self._index_candidates(name, attrs, class_)
+        if cand is not None:
+            for el in cand:
+                if _matches(el, name, attrs, class_, id, href):
+                    return el
+            return None
         if (attrs is None and class_ is None and id is None
                 and href is None and isinstance(name, str)):
             for el in self.iter_descendants():
@@ -166,6 +239,10 @@ class Element:
     def decompose(self) -> None:
         """Detach this subtree from its parent (no-op if already detached)."""
         if self.parent is not None:
+            top = self
+            while top.parent is not None:
+                top = top.parent
+            top._mutated = True  # index candidates now need parent checks
             try:
                 self.parent.children.remove(self)
             except ValueError:
@@ -189,8 +266,11 @@ class Element:
         """Descendants matching a ``tag`` / ``.class`` / ``tag.class``
         selector (CSS class semantics: whitespace-token equality)."""
         tag, cls = self._parse_selector(sel)
+        cand = self._index_candidates(
+            tag, None, cls if tag is None else None)
+        nodes = cand if cand is not None else self.iter_descendants()
         out = []
-        for el in self.iter_descendants():
+        for el in nodes:
             if tag is not None and el.tag != tag:
                 continue
             if cls is not None and cls not in el.classes:
@@ -302,7 +382,28 @@ class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Element("[document]")
+        self.root._tag_index = {}
+        self.root._class_index = []
+        self._seq = 0
         self._stack: list[Element] = [self.root]
+
+    def _new_element(self, tag: str, attr_dict: dict[str, str]) -> Element:
+        import sys
+        # interned tag names: one shared string object per tag across the
+        # whole corpus — identity-fast comparisons in the find fast path
+        # and far fewer small allocations in the parse storm
+        el = Element(sys.intern(tag), attr_dict)
+        self._seq += 1
+        el.seq = self._seq  # parse order == document pre-order
+        idx = self.root._tag_index
+        lst = idx.get(el.tag)
+        if lst is None:
+            idx[el.tag] = [el]
+        else:
+            lst.append(el)
+        if "class" in attr_dict:
+            self.root._class_index.append(el)
+        return el
 
     def handle_starttag(self, tag, attrs):
         import sys
@@ -310,17 +411,17 @@ class _TreeBuilder(HTMLParser):
         for k, v in attrs:
             if k not in attr_dict:  # keep first occurrence like bs4
                 attr_dict[sys.intern(k)] = "" if v is None else v
-        # interned tag names: one shared string object per tag across the
-        # whole corpus — identity-fast comparisons in the find fast path
-        # and far fewer small allocations in the parse storm
-        el = Element(sys.intern(tag), attr_dict)
+        el = self._new_element(tag, attr_dict)
         self._stack[-1]._append_element(el)
         if tag not in _VOID_ELEMENTS:
             self._stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
-        attr_dict = {k: ("" if v is None else v) for k, v in attrs}
-        self._stack[-1]._append_element(Element(tag, attr_dict))
+        attr_dict: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attr_dict:
+                attr_dict[k] = "" if v is None else v
+        self._stack[-1]._append_element(self._new_element(tag, attr_dict))
 
     def handle_endtag(self, tag):
         for i in range(len(self._stack) - 1, 0, -1):
