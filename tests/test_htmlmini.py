@@ -81,3 +81,105 @@ def test_href_filter():
 def test_document_order():
     root = parse_html("<div><p>1</p><section><p>2</p></section></div><p>3</p>")
     assert [p.get_text() for p in root.find_all("p")] == ["1", "2", "3"]
+
+
+# --- index-vs-walk equivalence (the parse-time query index must be
+#     indistinguishable from a full descendant scan, including after
+#     decompose() mutations and on detached subtrees) -------------------
+
+import random
+import re as _re
+
+
+def _random_html(rng: random.Random) -> str:
+    tags = ["div", "p", "span", "a", "ul", "li", "article", "section"]
+    classes = ["content", "nav menu", "post-date", "author-name", ""]
+    out = []
+
+    def emit(depth: int):
+        n = rng.randint(1, 4 if depth < 3 else 1)
+        for _ in range(n):
+            if depth >= 4 or rng.random() < 0.3:
+                out.append(f"text{rng.randint(0, 9)} ")
+                continue
+            tag = rng.choice(tags)
+            cls = rng.choice(classes)
+            attr = f' class="{cls}"' if cls else ""
+            if tag == "a" and rng.random() < 0.7:
+                attr += f' href="/x{rng.randint(0, 5)}"'
+            out.append(f"<{tag}{attr}>")
+            emit(depth + 1)
+            out.append(f"</{tag}>")
+
+    emit(0)
+    return "".join(out)
+
+
+def _walk_find_all(el, **kw):
+    """Ground truth: force the descendant-scan path by hiding the index."""
+    top = el
+    while top.parent is not None:
+        top = top.parent
+    saved = top._tag_index
+    top._tag_index = None
+    try:
+        return el.find_all(**kw)
+    finally:
+        top._tag_index = saved
+
+
+QUERIES = [
+    dict(name="p"),
+    dict(name="a", href=True),
+    dict(name=["p", "li", "article"]),
+    dict(class_=_re.compile(r"post|author")),
+    dict(name="div", class_="content"),
+    dict(attrs={"class": "nav"}),
+    dict(name="span", limit=2),
+]
+
+
+def test_index_matches_walk_under_mutation():
+    rng = random.Random(1234)
+    for trial in range(30):
+        root = parse_html(_random_html(rng))
+        for step in range(6):
+            for kw in QUERIES:
+                assert root.find_all(**kw) == _walk_find_all(root, **kw), \
+                    (trial, step, kw)
+                assert root.find(**{k: v for k, v in kw.items()
+                                    if k != "limit"}) == next(
+                    iter(_walk_find_all(root, **{k: v for k, v in kw.items()
+                                                 if k != "limit"})), None)
+            # subtree queries (self is not the indexed root)
+            divs = root.find_all("div")
+            if divs:
+                sub = rng.choice(divs)
+                for kw in QUERIES:
+                    assert sub.find_all(**kw) == _walk_find_all(sub, **kw)
+            # mutate: decompose a random element, then re-check
+            els = root.find_all(["div", "span", "ul", "section"])
+            if els:
+                victim = rng.choice(els)
+                victim.decompose()
+                # queries on the detached subtree must also agree
+                for kw in QUERIES[:3]:
+                    assert victim.find_all(**kw) == _walk_find_all(
+                        victim, **kw)
+
+
+def test_index_select_matches_walk():
+    rng = random.Random(99)
+    for _ in range(10):
+        root = parse_html(_random_html(rng))
+        for el in root.find_all("nav"):
+            el.decompose()
+        for sel in ["p", ".content", "div.content", "a", ".post-date"]:
+            got = root.select(sel)
+            top_saved = root._tag_index
+            root._tag_index = None
+            try:
+                want = root.select(sel)
+            finally:
+                root._tag_index = top_saved
+            assert got == want, sel
