@@ -139,8 +139,9 @@ def _crawl_domain_content(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crawler_ray.ops import dedup, discovery, multimodal, relational
-    from crawler_ray.ops import similarity, textstats, urls_jobs
+    from crawler_ray.ops import crud, dedup, discovery, multimodal
+    from crawler_ray.ops import relational, similarity, textstats
+    from crawler_ray.ops import urls_jobs
     from crawler_ray.state import history
 
     return {
@@ -192,6 +193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # O3 bounded-history eviction replayed in closed form over the
         # events log (state/history.py docstring has the derivation)
         "history_eviction": history.history_eviction,
+        # keyed-table CRUD cycle (S11-S14: DDL, bulk upsert with
+        # insert/update counts, delete, pruned scan — state/tablestore.py)
+        "table_crud": crud.table_crud,
+        "table_crud_counts": crud.table_crud_counts,
         # URL-structure discovery (M24/A7/A8: featurize -> DBSCAN ->
         # patterns; clustering internals pytest-pinned, rows-only here)
         "url_patterns": discovery.url_pattern_table,
@@ -752,6 +757,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.rn <= CASE WHEN n.n <= 500 THEN n.n
                           ELSE n.n - 100 * CAST(CEIL((n.n - 500) / 100.0)
                                                 AS BIGINT) END
+        """,
+        # S11-S14 CRUD cycle over the keyed table store: seed-insert all
+        # customers, update customers with >=5 orders (+100.0 acctbal,
+        # mktsegment 'UPDATED'), insert one customer per nation at key
+        # 10_000_000 + n_nationkey, delete keys % 7 == 0 — ops/crud.py
+        "table_crud": """
+            WITH upd AS (
+                SELECT o_custkey FROM orders
+                GROUP BY o_custkey HAVING COUNT(*) >= 5
+            ), base AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       CASE WHEN c_custkey IN (SELECT o_custkey FROM upd)
+                            THEN c_acctbal + 100.0 ELSE c_acctbal
+                       END AS c_acctbal,
+                       CASE WHEN c_custkey IN (SELECT o_custkey FROM upd)
+                            THEN 'UPDATED' ELSE c_mktsegment
+                       END AS c_mktsegment
+                FROM customer
+                UNION ALL
+                SELECT 10000000 + n_nationkey, 'NEW-' || n_name,
+                       n_nationkey, 0.0, 'NEW'
+                FROM nation
+            )
+            SELECT * FROM base WHERE c_custkey % 7 <> 0
+        """,
+        "table_crud_counts": """
+            WITH upd AS (
+                SELECT o_custkey FROM orders
+                GROUP BY o_custkey HAVING COUNT(*) >= 5
+            ), allkeys AS (
+                SELECT c_custkey FROM customer
+                UNION ALL
+                SELECT 10000000 + n_nationkey FROM nation
+            )
+            SELECT (SELECT COUNT(*) FROM customer) AS seed_inserted,
+                   CAST(0 AS BIGINT) AS seed_updated,
+                   (SELECT COUNT(*) FROM nation) AS mut_inserted,
+                   (SELECT COUNT(*) FROM upd) AS mut_updated,
+                   (SELECT COUNT(*) FROM allkeys
+                    WHERE c_custkey % 7 = 0) AS deleted
         """,
         "knn_bruteforce": """
             WITH q AS (

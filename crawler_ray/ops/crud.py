@@ -1,0 +1,148 @@
+"""Driver surface for the keyed TableStore (S11-S14): a full
+create -> bulk insert -> update-or-insert -> delete -> scan cycle over
+the TPC-H ``customer`` table, exercised exactly the way the reference
+drives its ORM CRUD layer (``database/operations.py:23-231``,
+``core/storage.py:273-303`` bulk counts) but as partition-local
+parquet merges (see ``crawler_ray/state/tablestore.py``).
+
+Scenario (all rules closed-form so a DuckDB oracle can replay them):
+
+1. seed    — upsert every ``customer`` row (all inserts).
+2. mutate  — one upsert carrying BOTH updates and inserts:
+   - customers with >= 5 orders get ``c_acctbal + 100.0`` and
+     ``c_mktsegment = 'UPDATED'`` (update-or-insert hits the update arm);
+   - one new customer per nation, key ``10_000_000 + n_nationkey``
+     (hits the insert arm).
+3. delete  — every current key with ``c_custkey % 7 == 0``.
+4. scan    — the surviving table is the ``table_crud`` result;
+   ``table_crud_counts`` returns the S12-style bulk counters.
+
+The update-key set is an aggregate (distinct customers with >= 5
+orders), broadcast into the update filter via ``ray.put`` — the same
+small-side pattern as corpus curation; at 10^9 keys it becomes a
+hash join on the key column instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["table_crud", "table_crud_counts"]
+
+_NEW_KEY_BASE = 10_000_000
+_MIN_ORDERS = 5
+_DELETE_MOD = 7
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _store_root(sf_dir: str) -> str:
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/crawler_ray_tablestore/{digest}"
+
+
+def _update_keys(sf_dir: str) -> list[int]:
+    """Distinct customers with >= ``_MIN_ORDERS`` orders — a groupby
+    aggregate whose result is small by construction (bounded by the
+    distinct-customer count of the order log)."""
+    cnt = (_rd().read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"])
+           .groupby("o_custkey").count())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["count()"], _MIN_ORDERS))
+
+    keys = (cnt.map_batches(keep, batch_format="pyarrow")
+            .select_columns(["o_custkey"]).take_all())
+    return sorted(r["o_custkey"] for r in keys)
+
+
+def _run_cycle(sf_dir: str):
+    """Run the full CRUD cycle; returns (store, counts_table)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from crawler_ray.state.tablestore import TableStore
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    schema = pq.read_schema(cust_path).remove_metadata()
+    store = TableStore.create(_store_root(sf_dir), "c_custkey", schema,
+                              num_partitions=8, drop_existing=True)
+
+    seed = store.upsert(_rd().read_parquet(cust_path))
+
+    upd_keys = _update_keys(sf_dir)
+    keys_ref = ray.put(np.asarray(upd_keys, dtype=np.int64))
+
+    def build_updates(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.is_in(t["c_custkey"], value_set=pa.array(keys))
+        hit = t.filter(mask)
+        return pa.table({
+            "c_custkey": hit["c_custkey"],
+            "c_name": hit["c_name"],
+            "c_nationkey": hit["c_nationkey"],
+            "c_acctbal": pc.add(hit["c_acctbal"], 100.0),
+            "c_mktsegment": pa.array(["UPDATED"] * hit.num_rows,
+                                     pa.string()),
+        }).cast(schema)
+
+    updates = (_rd().read_parquet(cust_path)
+               .map_batches(build_updates, batch_format="pyarrow"))
+
+    def build_inserts(t: pa.Table) -> pa.Table:
+        nk = t["n_nationkey"].to_numpy(zero_copy_only=False)
+        names = ["NEW-" + n for n in t["n_name"].to_pylist()]
+        return pa.table({
+            "c_custkey": pa.array(_NEW_KEY_BASE + nk.astype(np.int64),
+                                  pa.int64()),
+            "c_name": pa.array(names, pa.string()),
+            "c_nationkey": pa.array(nk, pa.int32()),
+            "c_acctbal": pa.array(np.zeros(len(nk)), pa.float64()),
+            "c_mktsegment": pa.array(["NEW"] * len(nk), pa.string()),
+        }).cast(schema)
+
+    inserts = (_rd().read_parquet(f"{sf_dir}/nation.parquet",
+                                  columns=["n_nationkey", "n_name"])
+               .map_batches(build_inserts, batch_format="pyarrow"))
+
+    mutate = store.upsert(updates.union(inserts))
+
+    def doomed(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"]
+        # k % 7 via integer ops (keys are non-negative)
+        mod = pc.subtract(k, pc.multiply(pc.divide(k, _DELETE_MOD),
+                                         _DELETE_MOD))
+        return pa.table({"c_custkey": k}).filter(pc.equal(mod, 0))
+
+    deleted = store.delete(
+        store.scan(columns=["c_custkey"])
+        .map_batches(doomed, batch_format="pyarrow"))
+
+    counts = pa.table({
+        "seed_inserted": pa.array([seed["inserted"]], pa.int64()),
+        "seed_updated": pa.array([seed["updated"]], pa.int64()),
+        "mut_inserted": pa.array([mutate["inserted"]], pa.int64()),
+        "mut_updated": pa.array([mutate["updated"]], pa.int64()),
+        "deleted": pa.array([deleted], pa.int64()),
+    })
+    return store, counts
+
+
+def table_crud(sf_dir: str):
+    """Final table after the CRUD cycle (see module docstring)."""
+    store, _ = _run_cycle(sf_dir)
+    return store.scan()
+
+
+def table_crud_counts(sf_dir: str):
+    """S12-style bulk counters for each phase of the CRUD cycle."""
+    _, counts = _run_cycle(sf_dir)
+    return counts
