@@ -24,6 +24,7 @@ per url" contract (BASELINE.json ``input_hint``) well-defined and testable.
 from __future__ import annotations
 
 import re
+import sys
 from html.parser import HTMLParser
 from typing import Callable, Iterable, Iterator, Optional, Union
 
@@ -388,7 +389,6 @@ class _TreeBuilder(HTMLParser):
         self._stack: list[Element] = [self.root]
 
     def _new_element(self, tag: str, attr_dict: dict[str, str]) -> Element:
-        import sys
         # interned tag names: one shared string object per tag across the
         # whole corpus — identity-fast comparisons in the find fast path
         # and far fewer small allocations in the parse storm
@@ -406,7 +406,6 @@ class _TreeBuilder(HTMLParser):
         return el
 
     def handle_starttag(self, tag, attrs):
-        import sys
         attr_dict: dict[str, str] = {}
         for k, v in attrs:
             if k not in attr_dict:  # keep first occurrence like bs4
@@ -434,8 +433,236 @@ class _TreeBuilder(HTMLParser):
         self._stack[-1]._append_text(data)
 
 
+# ---------------------------------------------------------------------------
+# Fast single-shot tokenizer
+#
+# ``html.parser`` is built for incremental feeding: every token pays for
+# buffer management, source-position tracking and handler dispatch.  A
+# crawler parses each complete document exactly once, so ``_fast_feed``
+# re-runs the SAME tokenization — it imports html.parser's own compiled
+# regexes (tagfind/attrfind/locatestarttagend/endtagfind/commentclose),
+# so token boundaries are identical by construction — in one tight loop
+# that builds the tree directly.  Replicated behaviours (against CPython
+# 3.11 ``html/parser.py`` with ``convert_charrefs=True`` and a single
+# ``feed(...); close()``):
+#
+# - text runs charref-unescaped, raw inside script/style CDATA content;
+# - start tags via locatestarttagend + tagfind + attrfind (names
+#   lowercased, first duplicate attr wins, quoted values stripped and
+#   unescaped), ``/>`` -> start+end, bogus tag tails re-emitted as data;
+# - end tags via endtagfind with the bogus-comment and ``</>`` branches;
+# - comments / doctype / processing instructions / bogus comments
+#   consumed exactly as parse_comment / parse_html_declaration /
+#   parse_pi / parse_bogus_comment do;
+# - the end-of-input recovery goahead applies when a construct never
+#   terminates (emit through the next ``>`` / ``<`` unescaped-as-text);
+# - unterminated CDATA content is dropped, a trailing text run is
+#   flushed.
+#
+# Marked sections (``<![``) go through the stdlib incremental path — the
+# only construct not replicated (parse_marked_section lives in
+# _markupbase).  ``tests/test_htmlmini.py`` pins fast == stdlib over the
+# generated corpus and an adversarial fuzz set.
+# ---------------------------------------------------------------------------
+
+def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
+    from html import unescape
+    from html.parser import (attrfind_tolerant, commentclose, endtagfind,
+                             locatestarttagend_tolerant, piclose,
+                             starttagopen, tagfind_tolerant)
+
+    n = len(rawdata)
+    i = 0
+    cdata_elem: str | None = None
+    cdata_close = None
+    find = rawdata.find
+    startswith = rawdata.startswith
+    stack = builder._stack
+    new_element = builder._new_element
+    handle_endtag = builder.handle_endtag
+    void = _VOID_ELEMENTS
+    alnum_eq_slash = ("abcdefghijklmnopqrstuvwxyz=/"
+                      "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+    def emit_text(s: str) -> None:
+        parent = stack[-1]
+        kids = parent.children
+        if kids and isinstance(kids[-1], TextNode):
+            kids[-1].text += s
+        else:
+            kids.append(TextNode(s, parent))
+
+    def recover(i: int) -> int:
+        """goahead's end-of-input branch for a construct returning -1."""
+        k = find(">", i + 1)
+        if k < 0:
+            k = find("<", i + 1)
+            if k < 0:
+                k = i + 1
+        else:
+            k += 1
+        chunk = rawdata[i:k]
+        if cdata_elem is None and "&" in chunk:
+            chunk = unescape(chunk)
+        if chunk:
+            emit_text(chunk)
+        return k
+
+    while i < n:
+        if cdata_elem is None:
+            j = find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                chunk = rawdata[i:j]
+                emit_text(unescape(chunk) if "&" in chunk else chunk)
+            i = j
+            if i == n:
+                break
+        else:
+            m = cdata_close.search(rawdata, i)
+            if m is None:
+                return  # unterminated CDATA content is dropped
+            j = m.start()
+            if i < j:
+                emit_text(rawdata[i:j])
+            i = j
+        c = rawdata[i + 1:i + 2]
+        if cdata_elem is not None:
+            # only "</elem" reaches here (the cdata_close pattern)
+            gt = find(">", i + 1)
+            if gt < 0:
+                i = recover(i)
+                continue
+            gtpos = gt + 1
+            m = endtagfind.match(rawdata, i)
+            if m is None or m.group(1).lower() != cdata_elem:
+                emit_text(rawdata[i:gtpos])
+                i = gtpos
+                continue
+            handle_endtag(cdata_elem)
+            cdata_elem = None
+            i = gtpos
+            continue
+        if starttagopen.match(rawdata, i):  # < + letter
+            m = locatestarttagend_tolerant.match(rawdata, i)
+            j = m.end()
+            nxt = rawdata[j:j + 1]
+            if nxt == ">":
+                endpos = j + 1
+            elif nxt == "/":
+                if startswith("/>", j):
+                    endpos = j + 2
+                else:
+                    endpos = -1  # '/' at end of input
+            elif nxt == "" or nxt in alnum_eq_slash:
+                endpos = -1  # end of input mid-tag
+            elif j > i:
+                endpos = j
+            else:
+                endpos = i + 1
+            if endpos < 0:
+                i = recover(i)
+                continue
+            tm = tagfind_tolerant.match(rawdata, i + 1)
+            k = tm.end()
+            tag = tm.group(1).lower()
+            attr_dict: dict[str, str] = {}
+            while k < endpos:
+                am = attrfind_tolerant.match(rawdata, k)
+                if am is None:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (attrvalue[:1] == "'" == attrvalue[-1:]
+                      or attrvalue[:1] == '"' == attrvalue[-1:]):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue and "&" in attrvalue:
+                    attrvalue = unescape(attrvalue)
+                attrname = attrname.lower()
+                if attrname not in attr_dict:  # first occurrence wins
+                    attr_dict[sys.intern(attrname)] = (
+                        "" if attrvalue is None else attrvalue)
+                k = am.end()
+            end = rawdata[k:endpos].strip()
+            if end not in (">", "/>"):
+                chunk = rawdata[i:endpos]
+                emit_text(unescape(chunk) if "&" in chunk else chunk)
+                i = endpos
+                continue
+            el = new_element(tag, attr_dict)
+            parent = stack[-1]
+            el.parent = parent
+            parent.children.append(el)
+            if end != "/>":  # plain start tag
+                if tag not in void:
+                    stack.append(el)
+                if tag == "script" or tag == "style":
+                    cdata_elem = tag
+                    cdata_close = re.compile(r"</\s*%s" % tag,
+                                             re.IGNORECASE)
+            i = endpos
+        elif c == "/":  # end tag
+            gtm = piclose.search(rawdata, i + 1)
+            if gtm is None:
+                i = recover(i)
+                continue
+            gtpos = gtm.end()
+            m = endtagfind.match(rawdata, i)
+            if m is not None:
+                handle_endtag(m.group(1).lower())
+                i = gtpos
+                continue
+            nm = tagfind_tolerant.match(rawdata, i + 2)
+            if nm is None:
+                if startswith("</>", i):
+                    i = i + 3
+                else:  # bogus comment: consume to '>'
+                    pos = find(">", i + 2)
+                    i = recover(i) if pos == -1 else pos + 1
+                continue
+            handle_endtag(nm.group(1).lower())
+            i = find(">", nm.end()) + 1
+        elif startswith("<!--", i):
+            m = commentclose.search(rawdata, i + 4)
+            i = recover(i) if m is None else m.end()
+        elif c == "?":
+            m = piclose.search(rawdata, i + 2)
+            i = recover(i) if m is None else m.end()
+        elif c == "!":
+            if rawdata[i:i + 9].lower() == "<!doctype":
+                gtpos = find(">", i + 9)
+                i = recover(i) if gtpos == -1 else gtpos + 1
+            else:  # bogus comment
+                pos = find(">", i + 2)
+                i = recover(i) if pos == -1 else pos + 1
+        elif i + 1 < n:
+            emit_text("<")
+            i += 1
+        else:
+            break  # lone '<' at EOF: flushed below
+    if i < n and cdata_elem is None:
+        chunk = rawdata[i:n]
+        emit_text(unescape(chunk) if "&" in chunk else chunk)
+
+
 def parse_html(html: Union[str, bytes]) -> Element:
     """Parse an HTML document into a mini-DOM root element."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    if "<![" in html:  # marked sections: stdlib incremental path
+        builder.feed(html)
+        builder.close()
+    else:
+        _fast_feed(builder, html)
+    return builder.root
+
+
+def parse_html_stdlib(html: Union[str, bytes]) -> Element:
+    """Reference parse through the stdlib incremental parser — the
+    ground truth ``_fast_feed`` is differential-tested against."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     builder = _TreeBuilder()

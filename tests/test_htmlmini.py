@@ -183,3 +183,76 @@ def test_index_select_matches_walk():
             finally:
                 root._tag_index = top_saved
             assert got == want, sel
+
+
+# --- fast tokenizer vs stdlib incremental parser ----------------------
+
+from crawler_ray.htmlmini import parse_html_stdlib, TextNode
+
+
+def _tree_repr(node, out):
+    if isinstance(node, TextNode):
+        out.append(("T", node.text))
+        return
+    out.append(("E", node.tag, tuple(sorted(node.attrs.items()))))
+    for c in node.children:
+        _tree_repr(c, out)
+    out.append(("/E", node.tag))
+
+
+def _trees_equal(html):
+    a, b = [], []
+    _tree_repr(parse_html(html), a)
+    _tree_repr(parse_html_stdlib(html), b)
+    return a == b
+
+
+ADVERSARIAL = [
+    "", "plain", "a &amp; b &lt;c&gt; &#65; &#x42; &unknown; &",
+    "<!DOCTYPE html><p>x</p>", "<!doctype junk\nhere><p>y</p>",
+    "<!-- c --><p>z</p>", "<!-- unterminated", "<!-->", "<!--a--!>t",
+    "<?pi ?>x", "<?unterminated", "<!weird>w", "<!unterminated",
+    "<script>if (a < b && c > d) '&amp;'</script>after",
+    "<script>'</scr' + 'ipt>'</script>ok", "<script>unterminated",
+    "<style>.a > .b {}</style>t", "<SCRIPT>X</SCRIPT>t",
+    "<script></scripts></script>done", "<script></ script >done",
+    "a < b text", "tail <", "<", "<>", "</>", "</ >", "</123>x",
+    "</bogus attr='>'>after", "</div junk>after",
+    "<p/>s", "<div / >o", "<div/x>o2", "<p unterminated attr='",
+    "<tag attr=>e", "<tag =w>x", "<tag 'q'>x", "<p a='1'b='2'>s</p>",
+    "<input value='a > b'>t", '<input value="<tag>">t',
+    "<A HREF='X' CLASS=Y>u</A>", "<p attr attr=1 attr=2>d</p>",
+    "<td:x ns:a=1>x</td:x>", "&#65 n", "&amp n", "text &#; b",
+    "<p title='&quot;q&quot;'>a</p>", "<p><!---></p>", "<p><!----></p>",
+    "<![CDATA[raw]]>via-stdlib-path",
+]
+
+
+def test_fast_tokenizer_matches_stdlib_adversarial():
+    for h in ADVERSARIAL:
+        assert _trees_equal(h), repr(h)
+
+
+def test_fast_tokenizer_matches_stdlib_fuzz():
+    rng = random.Random(20260817)
+    frags = ["<div>", "</div>", "<p class='x'>", "</p>", "text ", "&amp;",
+             "&#65;", "<br>", "<!--c-->", "<!-", "<script>", "</script>",
+             "< ", "<", ">", "<a href='u'>", "</a>", "'", '"',
+             "<!doctype h>", "<?pi?>", "&", "</", "<tag a=1 b", "=",
+             "/>", "--", "<style>", "</style>", "\n", "<em", "<em>",
+             "x;", "&unknown;", "</bogus", "<b/>"]
+    for _ in range(800):
+        h = "".join(rng.choice(frags)
+                    for _ in range(rng.randint(1, 25)))
+        assert _trees_equal(h), repr(h)
+
+
+def test_fast_tokenizer_matches_stdlib_on_corpus(small_corpus):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{small_corpus}/pages/*.parquet"))
+    for f in files:
+        for h in pq.read_table(f, columns=["html"])["html"].to_pylist():
+            assert _trees_equal(h)
