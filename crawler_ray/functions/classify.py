@@ -123,13 +123,15 @@ def _build_fast(keyword_sets: dict[str, list[str]]):
             if _WORD_RUN.fullmatch(kw):
                 single.setdefault(kw.lower(), []).append(name)
             else:
-                # prefilter key: a \b-bounded phrase can only match if its
-                # leading word occurs as a whole token, so the pattern is
-                # skipped (count 0, exactly) when that token is absent
-                m = _WORD_RUN.match(kw)
-                first = m.group(0).lower() if m else None
+                # prefilter key: in any \b-bounded phrase match, every
+                # \w+ run of the phrase aligns to a complete token of the
+                # text (the phrase's own non-word separators and the \b
+                # anchors bound each run), so the pattern is skipped
+                # (count 0, exactly) unless ALL its words occur as tokens
+                words = tuple(dict.fromkeys(
+                    w.lower() for w in _WORD_RUN.findall(kw)))
                 multi.setdefault(name, []).append((
-                    first,
+                    words,
                     re.compile(r"\b" + re.escape(kw) + r"\b",
                                re.IGNORECASE)))
     return single, multi
@@ -162,8 +164,8 @@ def _keyword_scores(text: str, names, single, multi, sizes,
     token_set = token_counts.keys()
     for name, pats in multi.items():
         counts[name] += sum(
-            len(p.findall(text)) for first, p in pats
-            if first is None or first in token_set)
+            len(p.findall(text)) for words, p in pats
+            if all(w in token_set for w in words))
     raw = {}
     for name in names:
         count = counts[name]
