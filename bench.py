@@ -54,7 +54,8 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from crawler_ray.corpus import generate_corpus
     from crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
-    from crawler_ray.ops import dedup, relational, similarity, textstats
+    from crawler_ray.ops import crud, dedup, relational, similarity
+    from crawler_ray.ops import textstats
 
     bench_corpus, bench_work = _bench_dirs(n_pages, page_scale)
     # corpus generation is cached across runs (not part of the measurement)
@@ -115,6 +116,9 @@ def run_bench() -> dict:
         # scored expert<->domain link table (two hash joins + aggregates)
         "expert_domain_links":
             lambda: relational.expert_domain_links(sf_dir),
+        # keyed-store CRUD cycle: seed insert + mixed upsert + delete +
+        # scan, all partition-local rewrites (state/tablestore.py)
+        "table_crud": lambda: crud.table_crud(sf_dir),
     }
     for name, fn in suite.items():
         t0 = time.time()
