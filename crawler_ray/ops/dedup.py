@@ -588,7 +588,9 @@ _ASCII_WORD_RE = re.compile(r"[a-z0-9_]+")
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
                         threshold_milli: int = 500,
                         table: str = "documents",
-                        max_gram_df: int | None = None):
+                        max_gram_df: int | None = None,
+                        broadcast_threshold: int = 1_000_000,
+                        join_partitions: int | None = None):
     """Exact n-gram Jaccard near-dup pairs (the exact counterpart of the
     MinHash estimate above; D3-family dedup).  Token grams are ASCII
     ``[a-z0-9_]+`` words lowercased (chosen so DuckDB RE2 and Python
@@ -597,9 +599,15 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     Plan: explode distinct (doc, gram-hash-64) rows once and materialize
     (ids + 8-byte hashes only — the documents themselves never shuffle);
     intersection counts come from bucketed gram-groupby pair emission +
-    a (doc_a, doc_b) groupby-sum; per-doc gram-set sizes are a tiny
-    aggregate broadcast into the final scoring pass (at 10^9-doc scale
-    that broadcast becomes a doc_id-keyed join).  jaccard_milli uses pure
+    a (doc_a, doc_b) groupby-sum.  The per-doc gram-set sizes feed the
+    final scoring pass through a planner decision identical to the
+    MinHash verify step: a corpus at or under ``broadcast_threshold``
+    docs ships the (doc_id -> n_grams) map once via ``ray.put`` (12 B a
+    row — 10^6 docs ≈ 12 MB), while a larger corpus routes the sizes
+    through two doc_id-keyed hash-partitioned ``Dataset.join`` passes so
+    the size table never lands on the driver (set
+    ``broadcast_threshold=0`` to force the join path — the pytest
+    equivalence test does).  jaccard_milli uses pure
     integer arithmetic ``(c*1000)//(|A|+|B|-c)`` so the oracle hash-matches
     bit-exactly — up to 64-bit gram-hash collisions: two distinct grams
     hashing alike inflate an intersection count by one, negligible at
@@ -616,8 +624,12 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     total_gram_rows/cap grams), so broadcasting it is safe at any
     corpus size."""
     import ray
+    import pyarrow.dataset as pads
     from ray.data.aggregate import Count, Sum
 
+    join_partitions = _join_partitions(join_partitions)
+    n_docs = pads.dataset(f"{sf_dir}/{table}.parquet",
+                          format="parquet").count_rows()
     ds = _rd().read_parquet(f"{sf_dir}/{table}.parquet",
                             columns=["doc_id", "text"])
 
@@ -641,10 +653,10 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     exploded = ds.map_batches(explode, batch_format="pyarrow",
                               batch_size=512).materialize()
 
-    sizes = (exploded.groupby("doc_id")
-             .aggregate(Count(alias_name="n_grams")).to_pandas())
-    size_ref = ray.put(dict(zip(sizes["doc_id"].astype(int),
-                                sizes["n_grams"].astype(int))))
+    # per-doc gram-set sizes on the FULL gram sets (max_gram_df filters
+    # pair emission below, never the denominators)
+    sizes_agg = (exploded.groupby("doc_id")
+                 .aggregate(Count(alias_name="n_grams")))
 
     if max_gram_df is not None:
         # hot-gram skew cap: find grams with df > cap (a tiny set by
@@ -696,23 +708,63 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
              .groupby(["doc_a", "doc_b"])
              .aggregate(Sum("one", alias_name="n_common")))
 
-    def score(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "jaccard_milli": pa.array([], pa.int64())})
-        size_map = ray.get(size_ref)
-        a = t["doc_a"].to_pylist()
-        b = t["doc_b"].to_pylist()
-        c = t["n_common"].to_pylist()
-        jac = [(int(ci) * 1000) // (size_map[ai] + size_map[bi] - int(ci))
-               for ai, bi, ci in zip(a, b, c)]
+    _EMPTY = pa.table({"doc_a": pa.array([], pa.int64()),
+                       "doc_b": pa.array([], pa.int64()),
+                       "jaccard_milli": pa.array([], pa.int64())})
+
+    def finish(t: pa.Table, na: np.ndarray, nb: np.ndarray) -> pa.Table:
+        c = t["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = (c * 1000) // (na + nb - c)
         out = pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
                         "jaccard_milli": pa.array(jac, pa.int64())})
         return out.filter(pa.compute.greater_equal(
             out["jaccard_milli"], threshold_milli))
 
-    return inter.map_batches(score, batch_format="pyarrow")
+    if n_docs <= broadcast_threshold:
+        # small-corpus path: ship the (doc_id -> n_grams) map once
+        sizes = sizes_agg.to_pandas()
+        size_ref = ray.put(dict(zip(sizes["doc_id"].astype(int),
+                                    sizes["n_grams"].astype(int))))
+
+        def score_broadcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _EMPTY
+            size_map = ray.get(size_ref)
+            na = np.fromiter((size_map[a] for a in t["doc_a"].to_pylist()),
+                             dtype=np.int64, count=t.num_rows)
+            nb = np.fromiter((size_map[b] for b in t["doc_b"].to_pylist()),
+                             dtype=np.int64, count=t.num_rows)
+            return finish(t, na, nb)
+
+        return inter.map_batches(score_broadcast, batch_format="pyarrow")
+
+    # at-scale path: doc_id-keyed size joins — the size table never
+    # lands on the driver
+    inter_r = _join_ready(
+        inter, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("n_common", pa.int64())]))
+    if inter_r.count() == 0:
+        return _rd().from_arrow(_EMPTY)
+    sizes_r = _join_ready(
+        sizes_agg, pa.schema([("doc_id", pa.int64()),
+                              ("n_grams", pa.int64())]))
+    with_a = inter_r.join(sizes_r, "inner",
+                          num_partitions=join_partitions,
+                          on=("doc_a",), right_on=("doc_id",)
+                          ).rename_columns({"n_grams": "n_grams_a"})
+    with_b = with_a.join(sizes_r, "inner",
+                         num_partitions=join_partitions,
+                         on=("doc_b",), right_on=("doc_id",)
+                         ).rename_columns({"n_grams": "n_grams_b"})
+
+    def score_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        na = t["n_grams_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_grams_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return finish(t, na, nb)
+
+    return with_b.map_batches(score_joined, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,18 @@ def test_ngram_jaccard_scores_planted(planted_corpus):
     assert hits >= 0.8 * len(near)
 
 
+def test_ngram_jaccard_join_path_equivalent(planted_corpus):
+    """broadcast_threshold=0 forces the at-scale doc_id-keyed size joins;
+    the scored pair set must be identical to the broadcast path."""
+    sf_dir, near, exact = planted_corpus
+    bc = dedup.ngram_jaccard_pairs(sf_dir, threshold_milli=500).to_pandas()
+    jn = dedup.ngram_jaccard_pairs(sf_dir, threshold_milli=500,
+                                   broadcast_threshold=0).to_pandas()
+    key = ["doc_a", "doc_b", "jaccard_milli"]
+    assert (sorted(map(tuple, bc[key].astype(int).values.tolist()))
+            == sorted(map(tuple, jn[key].astype(int).values.tolist())))
+
+
 def test_minhash_dedup_keep_components(planted_corpus):
     sf_dir, near, exact = planted_corpus
     keep = dedup.minhash_dedup_keep(sf_dir).to_pandas()
