@@ -229,7 +229,9 @@ def classify_docs_model(sf_dir: str, model_dir: str | None = None,
     ).select_columns(["doc_id", "pred_class"])
 
 
-def curate_corpus(sf_dir: str, min_words: int = 30):
+def curate_corpus(sf_dir: str, min_words: int = 30,
+                  broadcast_threshold: int = 1_000_000,
+                  join_partitions: int | None = None):
     """Training-data curation verdict per document — the composition the
     dedup/quality/lang operators exist for: exact-dedup first-wins, then
     a minimum-length quality gate.  Output (doc_id, n_words, verdict) with
@@ -237,17 +239,25 @@ def curate_corpus(sf_dir: str, min_words: int = 30):
     decision is order-deterministic and SQL-replayable).
 
     Plan shape: one hashing+counting pass over the documents (vectorized
-    per batch), a Min-aggregate on the 16-byte hash to pick winners, the
-    winner set broadcast via ``ray.put`` into the verdict pass — only
-    hashes shuffle, never text.  At 10^9-doc scale the broadcast becomes
-    a hash-keyed join, same as the other seen-set patterns."""
+    per batch), a Min-aggregate on the 16-byte hash to pick winners —
+    only hashes shuffle, never text.  The winner set reaches the verdict
+    pass by the usual planner decision: a corpus at or under
+    ``broadcast_threshold`` docs ships the (hash -> keep_id) map once via
+    ``ray.put``, a larger one routes it through a hash-keyed
+    ``Dataset.join`` so the winner table never lands on the driver
+    (``broadcast_threshold=0`` forces the join path — pytest pins the
+    two paths identical)."""
     import hashlib
 
+    import pyarrow.dataset as pads
     import ray
     from ray.data.aggregate import Min
 
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
+    from crawler_ray.ops.dedup import _join_partitions, _join_ready
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pads.dataset(path, format="parquet").count_rows()
+    ds = _rd().read_parquet(path, columns=["doc_id", "text"])
 
     def hash_and_count(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -260,24 +270,47 @@ def curate_corpus(sf_dir: str, min_words: int = 30):
 
     hashed = ds.map_batches(hash_and_count,
                             batch_format="pyarrow").materialize()
-    winners = (hashed.groupby("text_hash")
-               .aggregate(Min("doc_id", alias_name="keep_id")).to_pandas())
-    win_ref = ray.put(dict(zip(winners["text_hash"],
-                               winners["keep_id"].astype(int))))
+    winners_agg = (hashed.groupby("text_hash")
+                   .aggregate(Min("doc_id", alias_name="keep_id")))
 
-    def verdict(t: pa.Table) -> pa.Table:
-        win = ray.get(win_ref)
-        out = []
-        for doc_id, h, w in zip(t["doc_id"].to_pylist(),
-                                t["text_hash"].to_pylist(),
-                                t["n_words"].to_pylist()):
-            if win[h] != doc_id:
-                out.append("dup")
-            elif w < min_words:
-                out.append("short")
-            else:
-                out.append("keep")
-        return (t.drop_columns(["text_hash"])
-                .append_column("verdict", pa.array(out, pa.string())))
+    def finish(t: pa.Table, keep_ids: np.ndarray) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        words = t["n_words"].to_numpy(zero_copy_only=False)
+        out = np.where(keep_ids != ids, "dup",
+                       np.where(words < min_words, "short", "keep"))
+        return pa.table({"doc_id": t["doc_id"], "n_words": t["n_words"],
+                         "verdict": pa.array(out.tolist(), pa.string())})
 
-    return hashed.map_batches(verdict, batch_format="pyarrow")
+    if n_docs <= broadcast_threshold:
+        winners = winners_agg.to_pandas()
+        win_ref = ray.put(dict(zip(winners["text_hash"],
+                                   winners["keep_id"].astype(int))))
+
+        def verdict_broadcast(t: pa.Table) -> pa.Table:
+            win = ray.get(win_ref)
+            keep_ids = np.fromiter(
+                (win[h] for h in t["text_hash"].to_pylist()),
+                dtype=np.int64, count=t.num_rows)
+            return finish(t, keep_ids)
+
+        return hashed.map_batches(verdict_broadcast,
+                                  batch_format="pyarrow")
+
+    # at-scale path: hash-keyed winner join — the winner table never
+    # lands on the driver
+    winners_r = _join_ready(
+        winners_agg, pa.schema([("text_hash", pa.string()),
+                                ("keep_id", pa.int64())]))
+    joined = hashed.join(winners_r, "inner",
+                         num_partitions=_join_partitions(join_partitions,
+                                                         approx_rows=n_docs),
+                         on=("text_hash",))
+
+    def verdict_joined(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "verdict": pa.array([], pa.string())})
+        return finish(t, t["keep_id"].to_numpy(zero_copy_only=False))
+
+    return joined.map_batches(verdict_joined, batch_format="pyarrow")

@@ -89,3 +89,13 @@ def test_query_matches_oracle(name, ray_session, duck):
     assert _canon(mine) == _canon(theirs), (
         f"{name}: mismatch vs DuckDB oracle "
         f"(mine {len(mine)} rows, oracle {len(theirs)} rows)")
+
+
+def test_curate_corpus_join_path_equivalent(ray_session):
+    """broadcast_threshold=0 forces the at-scale hash-keyed winner join;
+    the verdicts must be identical to the broadcast path."""
+    from crawler_ray.ops.textstats import curate_corpus
+    bc = _to_pandas(curate_corpus(SF_DIR)).sort_values("doc_id")
+    jn = _to_pandas(curate_corpus(SF_DIR, broadcast_threshold=0)
+                    ).sort_values("doc_id")
+    assert (bc.reset_index(drop=True).equals(jn.reset_index(drop=True)))
