@@ -556,7 +556,9 @@ class _TraceSpill:
 def finalize_content_items(extracted_dir: str, out_dir: str,
                            order_of: dict[str, int] | None = None,
                            order_cols: list[str] | None = None,
-                           trace_dir: str | None = None) -> str:
+                           trace_dir: str | None = None,
+                           winner_broadcast_threshold: int = 2_000_000
+                           ) -> str:
     """Dedup-upsert finalization (``core/storage.py:103-211``) in TWO
     phases so page content never crosses the shuffle:
 
@@ -577,9 +579,17 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
     title/content/content_type/meta overwrite (update semantics).
     ``order_of``: visit order per url (strict mode; broadcast via
     ``ray.put``).  ``order_cols``: columns already on the rows that sort
-    lexicographically in visit order (wave mode).  The winner broadcast
-    is one small row per distinct hash; at 10^9-hash scale it becomes a
-    url-keyed join like the other seen-set patterns.
+    lexicographically in visit order (wave mode).
+
+    The winner map is one small row per distinct hash.  At or under
+    ``winner_broadcast_threshold`` winners it ships once via ``ray.put``;
+    above it the winners spill to a last_url-keyed ``TableStore``
+    (hash-partitioned, key-sorted parquet) and each build task does a
+    pruned point ``get`` for its batch's urls — the winner table never
+    lands on the driver, and content STILL never shuffles (a
+    ``Dataset.join`` here would repartition the content rows, the exact
+    cost the two-phase design exists to avoid).  Set the threshold to 0
+    to force the store path (the pytest equivalence test does).
     """
     import glob as _glob
 
@@ -648,16 +658,54 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
              t["similarity_hash"].to_pylist()]
         return t.append_column("merge_bucket", pa.array(b, pa.int32()))
 
-    winners = (ds.map_batches(add_merge_bucket, batch_format="pyarrow")
-               .groupby("merge_bucket")
-               .map_groups(
-                   lambda g: decide_bucket(g.drop(columns=["merge_bucket"])),
-                   batch_format="pandas")
-               .to_pandas())
-    attr_cols = [c for c in winners.columns if c != "last_url"]
-    win_ref = ray.put({r.last_url: i for i, r in
-                       enumerate(winners.itertuples())})
-    rows_ref = ray.put(winners[attr_cols])
+    winners_ds = (ds.map_batches(add_merge_bucket, batch_format="pyarrow")
+                  .groupby("merge_bucket")
+                  .map_groups(
+                      lambda g: decide_bucket(
+                          g.drop(columns=["merge_bucket"])),
+                      batch_format="pandas")
+                  # coerce blocks to arrow: the decide merge ran in
+                  # pandas, but the store spill needs a pa.Schema
+                  .map_batches(lambda t: t, batch_format="pyarrow")
+                  .materialize())
+    win_schema = winners_ds.schema()
+    attr_cols = [c for c in win_schema.names if c != "last_url"]
+    n_winners = winners_ds.count()
+    winner_store_root = None
+    if n_winners <= winner_broadcast_threshold:
+        winners = winners_ds.to_pandas()
+        win_ref = ray.put({r.last_url: i for i, r in
+                           enumerate(winners.itertuples())})
+        rows_ref = ray.put(winners[attr_cols])
+
+        def lookup(urls: list) -> tuple[list, pd.DataFrame]:
+            win = ray.get(win_ref)
+            idx = [win.get(u) for u in urls]
+            keep = [i for i, x in enumerate(idx) if x is not None]
+            picked = ray.get(rows_ref).iloc[
+                [x for x in idx if x is not None]].reset_index(drop=True)
+            return keep, picked
+    else:
+        # winner table too big to broadcast: spill it to a
+        # last_url-keyed store (distributed write) and point-read per
+        # batch.  last_url is unique by construction — every url holds
+        # exactly one content hash, so hash groups partition the urls.
+        from crawler_ray.state.tablestore import TableStore
+        winner_store_root = out_dir.rstrip("/") + ".winners"
+        store = TableStore.create(
+            winner_store_root, "last_url", win_schema.base_schema,
+            num_partitions=max(8, min(512, n_winners // 500_000 + 1)),
+            drop_existing=True)
+        store.upsert(winners_ds)
+
+        def lookup(urls: list) -> tuple[list, pd.DataFrame]:
+            t = TableStore(winner_store_root).get(urls)
+            m = {u: i for i, u in enumerate(t["last_url"].to_pylist())}
+            keep = [i for i, u in enumerate(urls) if u in m]
+            picked = (t.take(pa.array([m[urls[i]] for i in keep],
+                                      pa.int64()))
+                      .select(attr_cols).to_pandas())
+            return keep, picked
 
     # -- phase 2: stream content once, no shuffle ---------------------------
     big_need = {"url_norm", "title", "content", "content_type", "date",
@@ -666,12 +714,8 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
 
     def build(t: pa.Table) -> pa.Table:
         import json as _json
-        win = ray.get(win_ref)
-        idx = [win.get(u) for u in t["url_norm"].to_pylist()]
-        mask = pa.array([i is not None for i in idx])
-        t = t.filter(mask)
-        picked = ray.get(rows_ref).iloc[
-            [i for i in idx if i is not None]].reset_index(drop=True)
+        keep, picked = lookup(t["url_norm"].to_pylist())
+        t = t.take(pa.array(keep, pa.int64()))
         dom = pa.array([_json.dumps(d, ensure_ascii=False)
                         for d in t["domains"].to_pylist()], pa.string())
         out = pa.table({
@@ -693,4 +737,6 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     items.write_parquet(out_dir)
+    if winner_store_root is not None:
+        shutil.rmtree(winner_store_root, ignore_errors=True)
     return out_dir

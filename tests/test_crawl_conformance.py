@@ -144,6 +144,27 @@ class TestWaveConformance:
             assert e["content"] == o["content"]
             assert e["similarity_hash"] == o["similarity_hash"]
 
+    def test_finalize_winner_store_path_identical(self, wave_run,
+                                                  tmp_path_factory):
+        """winner_broadcast_threshold=0 forces the at-scale path — winners
+        spill to a last_url-keyed TableStore and build tasks point-read
+        them — and the content_items output must be row-identical to the
+        broadcast path the engine ran."""
+        from crawler_ray.pipelines.crawl import finalize_content_items
+        summary, _, _ = wave_run
+        out = str(tmp_path_factory.mktemp("fin_store"))
+        path = finalize_content_items(
+            summary["extracted_dirs"], os.path.join(out, "items"),
+            order_cols=["wave", "priority", "url_norm"],
+            winner_broadcast_threshold=0)
+        got = sorted(pads.dataset(path, format="parquet")
+                     .to_table().to_pylist(),
+                     key=lambda r: r["similarity_hash"])
+        want = sorted(pads.dataset(summary["content_items"],
+                                   format="parquet").to_table().to_pylist(),
+                      key=lambda r: r["similarity_hash"])
+        assert got == want
+
 
 class TestResume:
     def test_wave_resume_identical(self, small_corpus, tmp_path_factory):
