@@ -18,9 +18,12 @@ Scenario (all rules closed-form so a DuckDB oracle can replay them):
    ``table_crud_counts`` returns the S12-style bulk counters.
 
 The update-key set is an aggregate (distinct customers with >= 5
-orders), broadcast into the update filter via ``ray.put`` — the same
-small-side pattern as corpus curation; at 10^9 keys it becomes a
-hash join on the key column instead.
+orders).  It reaches the update filter by the usual planner decision:
+at or under ``broadcast_threshold`` keys it ships once via ``ray.put``
+and filters with a vectorized ``is_in``; above it the customer rows
+semi-join the key table through a hash-partitioned ``Dataset.join``,
+so the key set never lands on the driver (``broadcast_threshold=0``
+forces the join path — pytest pins the two paths identical).
 """
 
 from __future__ import annotations
@@ -48,10 +51,10 @@ def _store_root(sf_dir: str) -> str:
     return f"/tmp/crawler_ray_tablestore/{digest}"
 
 
-def _update_keys(sf_dir: str) -> list[int]:
-    """Distinct customers with >= ``_MIN_ORDERS`` orders — a groupby
-    aggregate whose result is small by construction (bounded by the
-    distinct-customer count of the order log)."""
+def _update_keys_ds(sf_dir: str):
+    """Distinct customers with >= ``_MIN_ORDERS`` orders, as a Dataset —
+    a groupby aggregate bounded by the distinct-customer count of the
+    order log."""
     cnt = (_rd().read_parquet(f"{sf_dir}/orders.parquet",
                               columns=["o_custkey"])
            .groupby("o_custkey").count())
@@ -59,16 +62,16 @@ def _update_keys(sf_dir: str) -> list[int]:
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["count()"], _MIN_ORDERS))
 
-    keys = (cnt.map_batches(keep, batch_format="pyarrow")
-            .select_columns(["o_custkey"]).take_all())
-    return sorted(r["o_custkey"] for r in keys)
+    return (cnt.map_batches(keep, batch_format="pyarrow")
+            .select_columns(["o_custkey"]))
 
 
-def _run_cycle(sf_dir: str):
+def _run_cycle(sf_dir: str, broadcast_threshold: int = 1_000_000):
     """Run the full CRUD cycle; returns (store, counts_table)."""
     import pyarrow.parquet as pq
     import ray
 
+    from crawler_ray.ops.dedup import _join_partitions, _join_ready
     from crawler_ray.state.tablestore import TableStore
 
     cust_path = f"{sf_dir}/customer.parquet"
@@ -78,13 +81,9 @@ def _run_cycle(sf_dir: str):
 
     seed = store.upsert(_rd().read_parquet(cust_path))
 
-    upd_keys = _update_keys(sf_dir)
-    keys_ref = ray.put(np.asarray(upd_keys, dtype=np.int64))
+    keys_ds = _update_keys_ds(sf_dir)
 
-    def build_updates(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pc.is_in(t["c_custkey"], value_set=pa.array(keys))
-        hit = t.filter(mask)
+    def rewrite(hit: pa.Table) -> pa.Table:
         return pa.table({
             "c_custkey": hit["c_custkey"],
             "c_name": hit["c_name"],
@@ -94,8 +93,28 @@ def _run_cycle(sf_dir: str):
                                      pa.string()),
         }).cast(schema)
 
-    updates = (_rd().read_parquet(cust_path)
-               .map_batches(build_updates, batch_format="pyarrow"))
+    keys_r = _join_ready(keys_ds,
+                         pa.schema([("o_custkey", pa.int64())]))
+    n_keys = keys_r.count()
+    if n_keys <= broadcast_threshold:
+        keys = sorted(r["o_custkey"] for r in keys_r.take_all())
+        keys_ref = ray.put(np.asarray(keys, dtype=np.int64))
+
+        def build_updates(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["c_custkey"],
+                            value_set=pa.array(ray.get(keys_ref)))
+            return rewrite(t.filter(mask))
+
+        updates = (_rd().read_parquet(cust_path)
+                   .map_batches(build_updates, batch_format="pyarrow"))
+    else:
+        # at-scale path: semi-join the customers against the key table —
+        # the key set never lands on the driver
+        joined = _rd().read_parquet(cust_path).join(
+            keys_r, "inner",
+            num_partitions=_join_partitions(None, approx_rows=n_keys),
+            on=("c_custkey",), right_on=("o_custkey",))
+        updates = joined.map_batches(rewrite, batch_format="pyarrow")
 
     def build_inserts(t: pa.Table) -> pa.Table:
         nk = t["n_nationkey"].to_numpy(zero_copy_only=False)
@@ -136,13 +155,13 @@ def _run_cycle(sf_dir: str):
     return store, counts
 
 
-def table_crud(sf_dir: str):
+def table_crud(sf_dir: str, broadcast_threshold: int = 1_000_000):
     """Final table after the CRUD cycle (see module docstring)."""
-    store, _ = _run_cycle(sf_dir)
+    store, _ = _run_cycle(sf_dir, broadcast_threshold)
     return store.scan()
 
 
-def table_crud_counts(sf_dir: str):
+def table_crud_counts(sf_dir: str, broadcast_threshold: int = 1_000_000):
     """S12-style bulk counters for each phase of the CRUD cycle."""
-    _, counts = _run_cycle(sf_dir)
+    _, counts = _run_cycle(sf_dir, broadcast_threshold)
     return counts

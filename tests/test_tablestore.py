@@ -102,3 +102,18 @@ def test_string_keys(tmp_path, ray_session):
     assert res == {"inserted": 1, "updated": 1}
     got = store.get(["b", "d"]).sort_by("u")
     assert got["n"].to_pylist() == [20, 4]
+
+
+def test_table_crud_join_path_equivalent(ray_session):
+    """broadcast_threshold=0 forces the semi-join update-key path; the
+    final table and the bulk counters must match the broadcast path."""
+    from crawler_ray.ops.crud import table_crud, table_crud_counts
+
+    sf = "/root/testdata/sf0.001"
+    bc = (table_crud(sf).to_pandas()
+          .sort_values("c_custkey").reset_index(drop=True))
+    jn = (table_crud(sf, broadcast_threshold=0).to_pandas()
+          .sort_values("c_custkey").reset_index(drop=True))
+    assert bc.equals(jn)
+    assert (table_crud_counts(sf).to_pylist()
+            == table_crud_counts(sf, broadcast_threshold=0).to_pylist())
