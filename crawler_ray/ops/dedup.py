@@ -102,6 +102,40 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 _TOKEN_HASH_CACHE_MAX = 2_000_000
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count): byte
+    LUT over the raw view."""
+    return (_POP8[np.ascontiguousarray(x).view(np.uint8)]
+            .reshape(len(x), 8).sum(axis=1).astype(np.int64))
+
+
+def _ragged_pairs(group_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group (i < j) index pairs over a SORTED group-id array,
+    fully vectorized (the ragged-triu cumsum/repeat trick) — replaces the
+    per-bucket Python pair loops in every LSH banding operator.  Returns
+    (left_idx, right_idx) into the input order; memory is O(total pairs),
+    never O(bucket^2) per bucket."""
+    n = len(group_ids)
+    empty = np.empty(0, dtype=np.int64)
+    if n < 2:
+        return empty, empty
+    starts = np.flatnonzero(np.r_[True, group_ids[1:] != group_ids[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    group_start = np.repeat(starts, counts)         # per element
+    pos = np.arange(n) - group_start                 # position in group
+    total = int(pos.sum())
+    if total == 0:
+        return empty, empty
+    rights = np.repeat(np.arange(n, dtype=np.int64), pos)
+    first_pair = np.cumsum(pos) - pos                # pair offset per elt
+    lefts = (np.arange(total, dtype=np.int64)
+             - np.repeat(first_pair, pos)
+             + np.repeat(group_start, pos))
+    return lefts, rights
+
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
     """md5 low-64 per token (== DuckDB's
@@ -297,18 +331,15 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
     banded = sig_ds.map_batches(band_explode, batch_format="pyarrow")
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # one Ray group per *band* (coarse); the fine band_hash buckets are
-        # a vectorized pandas groupby inside — Ray map_groups over the
-        # ~#docs×bands tiny buckets directly would pay per-group overhead
-        out = []
-        for _, bucket in g.groupby("band_hash", sort=False):
-            if len(bucket) < 2:
-                continue
-            ids = sorted(bucket["doc_id"].tolist())
-            out.extend((a, b) for i, a in enumerate(ids)
-                       for b in ids[i + 1:])
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"],
-                            dtype="int64")
+        # one Ray group per *band* (coarse); the fine band_hash buckets
+        # pair up in one vectorized ragged-triu pass — no Python loop
+        # over buckets or pairs
+        bh = g["band_hash"].to_numpy(dtype=np.uint64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, bh))
+        bh, ids = bh[order], ids[order]
+        left, right = _ragged_pairs(bh)
+        return pd.DataFrame({"doc_a": ids[left], "doc_b": ids[right]})
 
     pairs = banded.groupby("band").map_groups(band_pairs,
                                               batch_format="pandas")
@@ -555,21 +586,24 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
     banded = sig.map_batches(band_explode, batch_format="pyarrow")
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, bucket in g.groupby("key", sort=False):
-            if len(bucket) < 2:
-                continue
-            rows = sorted(zip(bucket["doc_id"], bucket["simhash"]))
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    a, sa = rows[i]
-                    b, sb = rows[j]
-                    ham = bin(int(sa) ^ int(sb)).count("1")
-                    if ham <= max_hamming:
-                        out.append((int(a), int(b), ham))
-        df = pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
-        return df.astype({"doc_a": "int64", "doc_b": "int64",
-                          "hamming": "int64"})
+        # vectorized: ragged-triu pair indices per key bucket, then ONE
+        # xor + LUT popcount over the pair arrays (1-D — never a
+        # bucket^2 matrix)
+        key = g["key"].to_numpy(dtype=np.int64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sims = g["simhash"].to_numpy(dtype=np.uint64)
+        order = np.lexsort((ids, key))
+        key, ids, sims = key[order], ids[order], sims[order]
+        left, right = _ragged_pairs(key)
+        if not len(left):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ham = _popcount64(sims[left] ^ sims[right])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[left][keep],
+                             "doc_b": ids[right][keep],
+                             "hamming": ham[keep]})
 
     pairs = banded.groupby("band").map_groups(band_pairs,
                                               batch_format="pandas")
@@ -689,15 +723,13 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
         return t.append_column("bucket", bucket)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, grp in g.groupby("gram", sort=False):
-            if len(grp) < 2:
-                continue
-            ids = sorted(int(x) for x in grp["doc_id"])
-            out.extend((a, b) for i, a in enumerate(ids)
-                       for b in ids[i + 1:])
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"],
-                            dtype="int64")
+        # vectorized ragged-triu pair emission per gram bucket
+        gr = g["gram"].to_numpy(dtype=np.uint64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, gr))
+        gr, ids = gr[order], ids[order]
+        left, right = _ragged_pairs(gr)
+        return pd.DataFrame({"doc_a": ids[left], "doc_b": ids[right]})
 
     inter = (exploded.map_batches(add_bucket, batch_format="pyarrow")
              .groupby("bucket").map_groups(bucket_pairs,
