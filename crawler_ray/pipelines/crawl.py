@@ -88,6 +88,9 @@ class CrawlConfig:
     # mega-host commit range-split: hosts with more admitted rows than
     # this per wave sort+stamp in parallel segments (identical vts)
     host_split_threshold: int | None = 200_000
+    # finalize winner map: broadcast at or under this many distinct
+    # hashes, spill to a last_url-keyed TableStore above it
+    finalize_broadcast_threshold: int = 2_000_000
     checkpoint_every: int = 5        # strict rounds between snapshots
     # internal wave-mode knobs used by the strict prefetch
     spill_links: bool = False        # also spill (url, links) side parts
@@ -445,7 +448,8 @@ class CrawlEngine:
             [extracted_dir] + prefetch_ext if os.path.isdir(extracted_dir)
             else prefetch_ext,
             os.path.join(out_dir, "content_items"),
-            order_of={t["url_norm"]: t["order"] for t in trace})
+            order_of={t["url_norm"]: t["order"] for t in trace},
+            winner_broadcast_threshold=cfg.finalize_broadcast_threshold)
         stats["visited"] = len(trace)
         stats["seen"] = len(seen)
         # failed side table (M26): one row per failed attempt, the

@@ -246,7 +246,8 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         items_path = finalize_content_items(
             ext_glob, os.path.join(out_dir, "content_items"),
             order_cols=["wave", "priority", "url_norm"],
-            trace_dir=trace_path)
+            trace_dir=trace_path,
+            winner_broadcast_threshold=cfg.finalize_broadcast_threshold)
     stats["sec_finalize"] = round(_time.time() - t_fin0, 3)
     seen_total = sum(pool.counts())
     metrics_snapshot = ray.get(metrics.snapshot.remote())
