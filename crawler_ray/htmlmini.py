@@ -171,6 +171,17 @@ class Element:
                 cand = sorted((el for lst in lists for el in lst),
                               key=lambda e: e.seq)
         elif class_ is not None or (attrs and "class" in attrs):
+            # the class index only holds elements that HAD a class
+            # attribute at parse time; a callable filter may accept
+            # None (_value_matches tries matcher(None)), so only
+            # str/regex filters — which can never match a missing
+            # attribute — may use it
+            filters = [class_] if class_ is not None else []
+            if attrs and "class" in attrs:
+                filters.append(attrs["class"])
+            if any(callable(f) and not isinstance(f, re.Pattern)
+                   for f in filters):
+                return None
             cand = top._class_index or []
         else:
             return None  # unconstrained scan: index buys nothing

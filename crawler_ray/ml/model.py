@@ -78,9 +78,16 @@ def save_model(model_dir: str, prefix: str, vec: TfidfVectorizer,
     (single-label argmax) or ``sigmoid`` (multi-label thresholds)."""
     os.makedirs(model_dir, exist_ok=True)
     if tag is None:
-        existing = [f for f in os.listdir(model_dir)
-                    if f.startswith(prefix) and f.endswith(".npz")]
-        tag = f"{len(existing):04d}"
+        # max existing numeric tag + 1 (NOT a count: with gaps or
+        # explicit tags a count would collide and os.replace would
+        # silently clobber the surviving artifact)
+        taken = -1
+        for f in os.listdir(model_dir):
+            if f.startswith(prefix) and f.endswith(".npz"):
+                stem = f[len(prefix):-len(".npz")]
+                if stem.isdigit():
+                    taken = max(taken, int(stem))
+        tag = f"{taken + 1:04d}"
     payload = dict(vec.state())
     payload.update({
         "w": w, "b": b,

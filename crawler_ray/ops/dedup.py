@@ -704,16 +704,16 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
                        t["df"], max_gram_df)).select(["gram"]),
                    batch_format="pyarrow")
                .to_pandas())
-        hot_ref = ray.put(frozenset(int(g) for g in hot["gram"]))
+        hot_ref = ray.put(pa.array(
+            np.asarray(hot["gram"], dtype=np.uint64)))
 
         def drop_hot(t: pa.Table) -> pa.Table:
-            hot_set = ray.get(hot_ref)
-            if not hot_set:
+            hot_arr = ray.get(hot_ref)
+            if len(hot_arr) == 0:
                 return t
-            keep = np.fromiter(
-                (int(g) not in hot_set for g in t["gram"].to_pylist()),
-                dtype=bool, count=t.num_rows)
-            return t.filter(pa.array(keep))
+            import pyarrow.compute as pc
+            return t.filter(pc.invert(
+                pc.is_in(t["gram"], value_set=hot_arr)))
 
         exploded = exploded.map_batches(drop_hot, batch_format="pyarrow")
 

@@ -89,7 +89,7 @@ class CrawlConfig:
     # this per wave sort+stamp in parallel segments (identical vts)
     host_split_threshold: int | None = 200_000
     # finalize winner map: broadcast at or under this many distinct
-    # hashes, spill to a last_url-keyed TableStore above it
+    # hashes, spill to a (last_url, hash)-keyed TableStore above it
     finalize_broadcast_threshold: int = 2_000_000
     checkpoint_every: int = 5        # strict rounds between snapshots
     # internal wave-mode knobs used by the strict prefetch
@@ -585,15 +585,21 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
     ``ray.put``).  ``order_cols``: columns already on the rows that sort
     lexicographically in visit order (wave mode).
 
-    The winner map is one small row per distinct hash.  At or under
-    ``winner_broadcast_threshold`` winners it ships once via ``ray.put``;
-    above it the winners spill to a last_url-keyed ``TableStore``
-    (hash-partitioned, key-sorted parquet) and each build task does a
-    pruned point ``get`` for its batch's urls — the winner table never
-    lands on the driver, and content STILL never shuffles (a
-    ``Dataset.join`` here would repartition the content rows, the exact
-    cost the two-phase design exists to avoid).  Set the threshold to 0
-    to force the store path (the pytest equivalence test does).
+    The winner map is one small row per distinct hash, keyed by the
+    composite ``(last_url, similarity_hash)`` — unique by construction
+    (one winner per hash), and it stays correct even on anomalous
+    spills where one url appears with two different hashes (overlapping
+    resume runs whose content changed): each content version matches
+    exactly its own hash's winner instead of colliding on the url.  At
+    or under ``winner_broadcast_threshold`` winners the map ships once
+    via ``ray.put``; above it the winners spill to a composite-keyed
+    ``TableStore`` (hash-partitioned, key-sorted parquet) and each
+    build task does a pruned point ``get`` for its batch's keys — the
+    winner table never lands on the driver, and content STILL never
+    shuffles (a ``Dataset.join`` here would repartition the content
+    rows, the exact cost the two-phase design exists to avoid).  Set
+    the threshold to 0 to force the store path (the pytest equivalence
+    test does).
     """
     import glob as _glob
 
@@ -673,52 +679,69 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
                   .map_batches(lambda t: t, batch_format="pyarrow")
                   .materialize())
     win_schema = winners_ds.schema()
-    attr_cols = [c for c in win_schema.names if c != "last_url"]
+    attr_cols = [c for c in win_schema.names
+                 if c not in ("last_url", "winner_key")]
     n_winners = winners_ds.count()
     winner_store_root = None
     if n_winners <= winner_broadcast_threshold:
         winners = winners_ds.to_pandas()
-        win_ref = ray.put({r.last_url: i for i, r in
-                           enumerate(winners.itertuples())})
+        win_ref = ray.put({r.last_url + "\x00" + r.similarity_hash: i
+                           for i, r in enumerate(winners.itertuples())})
         rows_ref = ray.put(winners[attr_cols])
 
-        def lookup(urls: list) -> tuple[list, pd.DataFrame]:
+        def lookup(keys: list) -> tuple[list, pd.DataFrame]:
             win = ray.get(win_ref)
-            idx = [win.get(u) for u in urls]
+            idx = [win.get(k) for k in keys]
             keep = [i for i, x in enumerate(idx) if x is not None]
             picked = ray.get(rows_ref).iloc[
                 [x for x in idx if x is not None]].reset_index(drop=True)
             return keep, picked
     else:
         # winner table too big to broadcast: spill it to a
-        # last_url-keyed store (distributed write) and point-read per
-        # batch.  last_url is unique by construction — every url holds
-        # exactly one content hash, so hash groups partition the urls.
+        # composite-keyed store (distributed write) and point-read per
+        # batch.  (last_url, similarity_hash) is unique — one winner
+        # row per distinct hash — so the store's distinct-key upsert
+        # invariant holds even when two hash groups share a last_url.
         from crawler_ray.state.tablestore import TableStore
+
+        def add_winner_key(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            k = pc.binary_join_element_wise(
+                t["last_url"], t["similarity_hash"], "\x00")
+            return t.append_column("winner_key", k)
+
         winner_store_root = out_dir.rstrip("/") + ".winners"
         store = TableStore.create(
-            winner_store_root, "last_url", win_schema.base_schema,
+            winner_store_root, "winner_key",
+            win_schema.base_schema.append(pa.field("winner_key",
+                                                   pa.string())),
             num_partitions=max(8, min(512, n_winners // 500_000 + 1)),
             drop_existing=True)
-        store.upsert(winners_ds)
+        store.upsert(winners_ds.map_batches(add_winner_key,
+                                            batch_format="pyarrow"))
 
-        def lookup(urls: list) -> tuple[list, pd.DataFrame]:
-            t = TableStore(winner_store_root).get(urls)
-            m = {u: i for i, u in enumerate(t["last_url"].to_pylist())}
-            keep = [i for i, u in enumerate(urls) if u in m]
-            picked = (t.take(pa.array([m[urls[i]] for i in keep],
+        def lookup(keys: list) -> tuple[list, pd.DataFrame]:
+            ask = [k for k in keys if k is not None]
+            t = TableStore(winner_store_root).get(ask)
+            m = {k: i for i, k in enumerate(t["winner_key"].to_pylist())}
+            keep = [i for i, k in enumerate(keys) if k in m]
+            picked = (t.take(pa.array([m[keys[i]] for i in keep],
                                       pa.int64()))
                       .select(attr_cols).to_pandas())
             return keep, picked
 
     # -- phase 2: stream content once, no shuffle ---------------------------
-    big_need = {"url_norm", "title", "content", "content_type", "date",
-                "author", "entities_json", "domains"}
+    big_need = {"url_norm", "similarity_hash", "title", "content",
+                "content_type", "date", "author", "entities_json",
+                "domains"}
     ds2 = rd.read_parquet(files, columns=sorted(big_need & have))
 
     def build(t: pa.Table) -> pa.Table:
         import json as _json
-        keep, picked = lookup(t["url_norm"].to_pylist())
+        keys = [u + "\x00" + h if h is not None else None
+                for u, h in zip(t["url_norm"].to_pylist(),
+                                t["similarity_hash"].to_pylist())]
+        keep, picked = lookup(keys)
         t = t.take(pa.array(keep, pa.int64()))
         dom = pa.array([_json.dumps(d, ensure_ascii=False)
                         for d in t["domains"].to_pylist()], pa.string())

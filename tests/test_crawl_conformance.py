@@ -144,12 +144,68 @@ class TestWaveConformance:
             assert e["content"] == o["content"]
             assert e["similarity_hash"] == o["similarity_hash"]
 
+    def test_finalize_duplicate_last_url(self, tmp_path_factory):
+        """Two hash groups electing the SAME last_url (one url spilled
+        twice with different content, as overlapping resume runs can
+        produce) must not crash the keyed-store path and must emit one
+        content item per hash on BOTH paths — the composite
+        (last_url, similarity_hash) winner key disambiguates."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pyarrow.dataset as pads
+        from crawler_ray.pipelines.crawl import finalize_content_items
+
+        base = str(tmp_path_factory.mktemp("fin_dup"))
+        ext = os.path.join(base, "extracted")
+        os.makedirs(ext)
+
+        def row(url, h, content, wave):
+            return {"url_norm": url, "similarity_hash": h,
+                    "fetch_ok": True, "title": "t-" + h,
+                    "content": content, "content_type": "article",
+                    "date": None, "author": None, "entities_json": "{}",
+                    "domains": [], "wave": wave, "priority": 1.0,
+                    "depth": 0, "job_type": "page", "parent_url": None,
+                    "fetch_vts": 0.0, "host": "h.example"}
+
+        # group A = {Y@wave0, X@wave1} (last visit X), group B =
+        # {X@wave1, re-extracted with different content} (last visit
+        # X): both groups elect last_url = X
+        part0 = [row("http://h.example/y", "aaaa11", "old body", 0)]
+        part1 = [row("http://h.example/x", "aaaa11", "old body x", 1),
+                 row("http://h.example/x", "bbbb22", "new body", 1)]
+        pq.write_table(pa.Table.from_pylist(part0),
+                       os.path.join(ext, "part-0.parquet"))
+        pq.write_table(pa.Table.from_pylist(part1),
+                       os.path.join(ext, "part-1.parquet"))
+
+        outs = {}
+        for name, thresh in (("bcast", 1_000_000), ("store", 0)):
+            path = finalize_content_items(
+                ext, os.path.join(base, "items_" + name),
+                order_cols=["wave", "priority", "url_norm"],
+                winner_broadcast_threshold=thresh)
+            outs[name] = sorted(
+                pads.dataset(path, format="parquet")
+                .to_table().to_pylist(),
+                key=lambda r: r["similarity_hash"])
+        assert outs["bcast"] == outs["store"]
+        got = outs["bcast"]
+        assert [r["similarity_hash"] for r in got] == ["aaaa11", "bbbb22"]
+        # group A: first visit Y wins the insert (keeps url), last
+        # visit X supplies the content; group B: X's re-extracted body
+        assert got[0]["url"] == "http://h.example/y"
+        assert got[0]["content"] == "old body x"
+        assert got[0]["n_versions"] == 2
+        assert got[1]["url"] == "http://h.example/x"
+        assert got[1]["content"] == "new body"
+
     def test_finalize_winner_store_path_identical(self, wave_run,
                                                   tmp_path_factory):
         """winner_broadcast_threshold=0 forces the at-scale path — winners
-        spill to a last_url-keyed TableStore and build tasks point-read
-        them — and the content_items output must be row-identical to the
-        broadcast path the engine ran."""
+        spill to a (last_url, hash)-keyed TableStore and build tasks
+        point-read them — and the content_items output must be
+        row-identical to the broadcast path the engine ran."""
         from crawler_ray.pipelines.crawl import finalize_content_items
         summary, _, _ = wave_run
         out = str(tmp_path_factory.mktemp("fin_store"))

@@ -136,6 +136,12 @@ QUERIES = [
     dict(name="div", class_="content"),
     dict(attrs={"class": "nav"}),
     dict(name="span", limit=2),
+    # callable class filters may accept None (classless elements), so
+    # they must bypass the class index — regression for the indexed
+    # tree returning a strict subset of the walk
+    dict(class_=lambda c: c is None),
+    dict(class_=lambda c: c is not None and "post" in c),
+    dict(attrs={"class": lambda c: c is None or "nav" in c}),
 ]
 
 

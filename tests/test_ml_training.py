@@ -115,6 +115,29 @@ def test_find_latest_model_picks_newest(tmp_path):
     assert find_latest_model(d, "nope_") is None
 
 
+def test_save_model_auto_tag_never_clobbers(tmp_path):
+    """Auto tags continue past the max existing tag — a surviving
+    higher-numbered artifact (gap from a deleted 0000, or an explicit
+    tag) must not be silently overwritten."""
+    d = str(tmp_path)
+    texts = ["a b", "a c", "b c"]
+    vec = TfidfVectorizer(max_features=5, min_df=1,
+                          token_mode="ascii").fit(texts)
+    x = vec.transform(texts)
+    w, b = train_softmax(x, np.array([0, 1, 1]), 2, iters=5)
+    p1 = save_model(d, "m_", vec, w, b, ["x", "y"], "softmax",
+                    tag="0001")
+    p2 = save_model(d, "m_", vec, w, b, ["x", "y"], "softmax")
+    assert p2 != p1 and p2.endswith("m_0002.npz")
+    os.remove(p1)
+    p3 = save_model(d, "m_", vec, w, b, ["x", "y"], "softmax")
+    assert p3.endswith("m_0003.npz")
+    # non-numeric stems are ignored, not crashed on
+    open(os.path.join(d, "m_custom.npz"), "wb").close()
+    p4 = save_model(d, "m_", vec, w, b, ["x", "y"], "softmax")
+    assert p4.endswith("m_0004.npz")
+
+
 def test_model_classifier_batch_and_agreement(tmp_path):
     """The trained doc-class model must agree with the keyword-count
     argmax on keyword-dominated synthetic docs (the two paths share
