@@ -117,3 +117,52 @@ def test_table_crud_join_path_equivalent(ray_session):
     assert bc.equals(jn)
     assert (table_crud_counts(sf).to_pylist()
             == table_crud_counts(sf, broadcast_threshold=0).to_pylist())
+
+
+def test_random_crud_matches_dict_model(tmp_path, ray_session):
+    """Model-based check: a random interleaving of upserts, deletes and
+    point gets must track a plain dict exactly — contents, insert/update
+    counts, delete counts, and get results."""
+    import random
+
+    import ray.data as rd
+
+    rng = random.Random(2024)
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    store = TableStore.create(str(tmp_path / "model"), "k", schema,
+                              num_partitions=4, drop_existing=True)
+    model: dict[int, str] = {}
+    keyspace = list(range(40))
+
+    for step in range(12):
+        op = rng.choice(["upsert", "delete", "get"])
+        if op == "upsert":
+            keys = rng.sample(keyspace, rng.randint(1, 12))
+            vals = [f"s{step}-{k}" for k in keys]
+            counts = store.upsert(rd.from_arrow(pa.table({
+                "k": pa.array(keys, pa.int64()),
+                "v": pa.array(vals, pa.string())})))
+            want_updated = sum(k in model for k in keys)
+            assert counts == {"inserted": len(keys) - want_updated,
+                              "updated": want_updated}, step
+            model.update(zip(keys, vals))
+        elif op == "delete":
+            keys = rng.sample(keyspace, rng.randint(1, 10))
+            n = store.delete(rd.from_arrow(pa.table({
+                "k": pa.array(keys, pa.int64())})))
+            want = sum(k in model for k in keys)
+            assert n == want, step
+            for k in keys:
+                model.pop(k, None)
+        else:
+            keys = rng.sample(keyspace, rng.randint(1, 15))
+            got = store.get(keys)
+            want_rows = sorted((k, model[k]) for k in keys if k in model)
+            got_rows = sorted(zip(got["k"].to_pylist(),
+                                  got["v"].to_pylist()))
+            assert got_rows == want_rows, step
+        # full-state check every step: scan == model, count == len
+        scanned = sorted(
+            (r["k"], r["v"]) for r in store.scan().take_all())
+        assert scanned == sorted(model.items()), step
+        assert store.count() == len(model), step
