@@ -376,28 +376,36 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
            .aggregate(Count(alias_name="n_bands")))
 
     if sig_ds.count() <= broadcast_threshold:
-        # small-side broadcast join: ship the signature map once, look
-        # it up in-task; comparison stays one stacked numpy equality
+        # small-side broadcast join: ship the signatures once as a pair
+        # of numpy arrays (id-sorted ids + stacked signature matrix) —
+        # numpy rides the object store zero-copy, unlike a dict, which
+        # every verify task would re-unpickle — and look rows up with
+        # one vectorized searchsorted per batch
         import ray
-        sig_t = sig_ds.to_arrow_refs()
-        sig_map: dict[int, bytes] = {}
-        for ref in sig_t:
+        ids_l, sigs_l = [], []
+        for ref in sig_ds.to_arrow_refs():
             blk = ray.get(ref)
-            sig_map.update(zip(blk["doc_id"].to_pylist(),
-                               blk["sig"].to_pylist()))
-        sig_map_ref = ray.put(sig_map)
+            if blk.num_rows:
+                ids_l.append(np.asarray(blk["doc_id"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64))
+                sigs_l.append(np.frombuffer(
+                    b"".join(blk["sig"].to_pylist()),
+                    dtype=np.uint64).reshape(blk.num_rows, num_perm))
+        sig_ids = np.concatenate(ids_l)
+        sig_mat = np.vstack(sigs_l)
+        order = np.argsort(sig_ids, kind="stable")
+        sig_ref = ray.put((sig_ids[order],
+                           np.ascontiguousarray(sig_mat[order])))
 
         def verify_broadcast(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return _EMPTY
-            m = ray.get(sig_map_ref)
-            sa = np.frombuffer(
-                b"".join(m[a] for a in t["doc_a"].to_pylist()),
-                dtype=np.uint64).reshape(t.num_rows, num_perm)
-            sb = np.frombuffer(
-                b"".join(m[b] for b in t["doc_b"].to_pylist()),
-                dtype=np.uint64).reshape(t.num_rows, num_perm)
-            return score_pairs(t, sa, sb)
+            ids, mat = ray.get(sig_ref)
+            ia = np.searchsorted(ids, np.asarray(
+                t["doc_a"].to_numpy(zero_copy_only=False), np.int64))
+            ib = np.searchsorted(ids, np.asarray(
+                t["doc_b"].to_numpy(zero_copy_only=False), np.int64))
+            return score_pairs(t, mat[ia], mat[ib])
 
         return agg.map_batches(verify_broadcast, batch_format="pyarrow")
 
@@ -753,19 +761,23 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
             out["jaccard_milli"], threshold_milli))
 
     if n_docs <= broadcast_threshold:
-        # small-corpus path: ship the (doc_id -> n_grams) map once
-        sizes = sizes_agg.to_pandas()
-        size_ref = ray.put(dict(zip(sizes["doc_id"].astype(int),
-                                    sizes["n_grams"].astype(int))))
+        # small-corpus path: ship the (doc_id -> n_grams) map once as
+        # two id-sorted numpy arrays (zero-copy from the object store;
+        # a dict would re-unpickle per task) and resolve each batch
+        # with one vectorized searchsorted
+        sizes = sizes_agg.to_pandas().sort_values("doc_id")
+        size_ref = ray.put((
+            np.asarray(sizes["doc_id"], dtype=np.int64),
+            np.asarray(sizes["n_grams"], dtype=np.int64)))
 
         def score_broadcast(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return _EMPTY
-            size_map = ray.get(size_ref)
-            na = np.fromiter((size_map[a] for a in t["doc_a"].to_pylist()),
-                             dtype=np.int64, count=t.num_rows)
-            nb = np.fromiter((size_map[b] for b in t["doc_b"].to_pylist()),
-                             dtype=np.int64, count=t.num_rows)
+            ids, grams = ray.get(size_ref)
+            na = grams[np.searchsorted(ids, np.asarray(
+                t["doc_a"].to_numpy(zero_copy_only=False), np.int64))]
+            nb = grams[np.searchsorted(ids, np.asarray(
+                t["doc_b"].to_numpy(zero_copy_only=False), np.int64))]
             return finish(t, na, nb)
 
         return inter.map_batches(score_broadcast, batch_format="pyarrow")

@@ -282,15 +282,22 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
                          "verdict": pa.array(out.tolist(), pa.string())})
 
     if n_docs <= broadcast_threshold:
-        winners = winners_agg.to_pandas()
-        win_ref = ray.put(dict(zip(winners["text_hash"],
-                                   winners["keep_id"].astype(int))))
+        # ship the winner table as ONE arrow table (zero-copy from the
+        # object store — a dict would re-unpickle per verdict task) and
+        # resolve each batch with a vectorized index_in/take
+        blocks = [b for b in ray.get(winners_agg.to_arrow_refs())
+                  if b.num_rows]
+        win_ref = ray.put(pa.concat_tables(
+            [b.select(["text_hash", "keep_id"]) for b in blocks])
+            .combine_chunks())
 
         def verdict_broadcast(t: pa.Table) -> pa.Table:
-            win = ray.get(win_ref)
-            keep_ids = np.fromiter(
-                (win[h] for h in t["text_hash"].to_pylist()),
-                dtype=np.int64, count=t.num_rows)
+            import pyarrow.compute as pc
+            w = ray.get(win_ref)
+            idx = pc.index_in(t["text_hash"], value_set=w["text_hash"])
+            keep_ids = np.asarray(
+                w["keep_id"].take(idx).to_numpy(zero_copy_only=False),
+                dtype=np.int64)
             return finish(t, keep_ids)
 
         return hashed.map_batches(verdict_broadcast,

@@ -623,7 +623,13 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
     if trace_dir is not None:
         shutil.rmtree(trace_dir, ignore_errors=True)
         ds = ds.map_batches(_TraceSpill(trace_dir), batch_format="pyarrow")
-    order_ref = ray.put(order_of) if order_of is not None else None
+    if order_of is not None:
+        # broadcast the visit-order map as an arrow table (zero-copy
+        # per task; a dict would re-unpickle in every decide batch)
+        order_ref = ray.put(pa.table({
+            "url_norm": pa.array(list(order_of.keys()), pa.string()),
+            "__order": pa.array(list(order_of.values()), pa.int64()),
+        }).combine_chunks())
 
     def decide_prep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -637,13 +643,15 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
 
     ds = ds.map_batches(decide_prep, batch_format="pyarrow")
 
-    def attach_order(df: pd.DataFrame) -> pd.DataFrame:
-        omap = ray.get(order_ref)
-        df["__order"] = [omap.get(u, -1) for u in df["url_norm"]]
-        return df[df["__order"] >= 0]
+    def attach_order(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        o = ray.get(order_ref)
+        idx = pc.index_in(t["url_norm"], value_set=o["url_norm"])
+        t = t.append_column("__order", o["__order"].take(idx))
+        return t.filter(pc.is_valid(idx))
 
     if order_of is not None:
-        ds = ds.map_batches(attach_order, batch_format="pandas")
+        ds = ds.map_batches(attach_order, batch_format="pyarrow")
 
     def decide_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["similarity_hash"] + sort_cols,
