@@ -391,11 +391,16 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
                 sigs_l.append(np.frombuffer(
                     b"".join(blk["sig"].to_pylist()),
                     dtype=np.uint64).reshape(blk.num_rows, num_perm))
-        sig_ids = np.concatenate(ids_l)
-        sig_mat = np.vstack(sigs_l)
-        order = np.argsort(sig_ids, kind="stable")
-        sig_ref = ray.put((sig_ids[order],
-                           np.ascontiguousarray(sig_mat[order])))
+        if ids_l:
+            sig_ids = np.concatenate(ids_l)
+            sig_mat = np.vstack(sigs_l)
+            order = np.argsort(sig_ids, kind="stable")
+            sig_ids, sig_mat = (sig_ids[order],
+                                np.ascontiguousarray(sig_mat[order]))
+        else:  # empty corpus: no signatures, no pairs to verify
+            sig_ids = np.empty(0, np.int64)
+            sig_mat = np.empty((0, num_perm), np.uint64)
+        sig_ref = ray.put((sig_ids, sig_mat))
 
         def verify_broadcast(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:

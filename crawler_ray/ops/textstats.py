@@ -285,11 +285,13 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
         # ship the winner table as ONE arrow table (zero-copy from the
         # object store — a dict would re-unpickle per verdict task) and
         # resolve each batch with a vectorized index_in/take
-        blocks = [b for b in ray.get(winners_agg.to_arrow_refs())
+        blocks = [b.select(["text_hash", "keep_id"])
+                  for b in ray.get(winners_agg.to_arrow_refs())
                   if b.num_rows]
-        win_ref = ray.put(pa.concat_tables(
-            [b.select(["text_hash", "keep_id"]) for b in blocks])
-            .combine_chunks())
+        win_ref = ray.put(
+            (pa.concat_tables(blocks) if blocks else pa.table(
+                {"text_hash": pa.array([], pa.string()),
+                 "keep_id": pa.array([], pa.int64())})).combine_chunks())
 
         def verdict_broadcast(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

@@ -183,3 +183,25 @@ def test_ngram_max_gram_df_caps_hot_grams(tmp_path):
     score = int(capped.set_index(["doc_a", "doc_b"])
                 .loc[(0, 100), "jaccard_milli"])
     assert score < 1000
+
+
+def test_broadcast_ops_handle_empty_corpus(tmp_path, ray_session):
+    """The zero-copy broadcast paths must survive an EMPTY documents
+    table (no signatures / winners to ship) — regression for
+    np.concatenate([]) / pa.concat_tables([]) raising on empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.dedup import minhash_lsh_pairs
+    from crawler_ray.ops.textstats import curate_corpus
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    }), f"{sf}/documents.parquet")
+    assert minhash_lsh_pairs(sf).count() == 0
+    assert curate_corpus(sf).count() == 0
