@@ -406,10 +406,16 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
             if t.num_rows == 0:
                 return _EMPTY
             ids, mat = ray.get(sig_ref)
-            ia = np.searchsorted(ids, np.asarray(
-                t["doc_a"].to_numpy(zero_copy_only=False), np.int64))
-            ib = np.searchsorted(ids, np.asarray(
-                t["doc_b"].to_numpy(zero_copy_only=False), np.int64))
+            a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            ia = np.searchsorted(ids, a)
+            ib = np.searchsorted(ids, b)
+            # candidates are emitted from these same signatures, so
+            # every id must resolve exactly (searchsorted would
+            # otherwise return a silent wrong row, unlike a dict)
+            assert (ids[ia] == a).all() and (ids[ib] == b).all()
             return score_pairs(t, mat[ia], mat[ib])
 
         return agg.map_batches(verify_broadcast, batch_format="pyarrow")
@@ -779,11 +785,16 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
             if t.num_rows == 0:
                 return _EMPTY
             ids, grams = ray.get(size_ref)
-            na = grams[np.searchsorted(ids, np.asarray(
-                t["doc_a"].to_numpy(zero_copy_only=False), np.int64))]
-            nb = grams[np.searchsorted(ids, np.asarray(
-                t["doc_b"].to_numpy(zero_copy_only=False), np.int64))]
-            return finish(t, na, nb)
+            a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            ia = np.searchsorted(ids, a)
+            ib = np.searchsorted(ids, b)
+            # pair ids come from the same exploded grams the sizes
+            # aggregate over — every id must resolve exactly
+            assert (ids[ia] == a).all() and (ids[ib] == b).all()
+            return finish(t, grams[ia], grams[ib])
 
         return inter.map_batches(score_broadcast, batch_format="pyarrow")
 
