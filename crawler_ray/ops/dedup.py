@@ -137,6 +137,21 @@ def _ragged_pairs(group_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lefts, rights
 
 
+def _sorted_lookup(ids: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Resolve ``keys`` to row positions in the id-sorted ``ids`` via
+    one vectorized searchsorted, failing LOUDLY on any miss — a plain
+    searchsorted returns the insertion point (a silent wrong row) where
+    the dict it replaced raised KeyError.  Unconditional check, not an
+    assert: it must survive ``python -O``."""
+    pos = np.searchsorted(ids, keys)
+    safe = np.minimum(pos, max(len(ids) - 1, 0))
+    if len(ids) == 0 or not (ids[safe] == keys).all():
+        missing = keys if len(ids) == 0 else keys[ids[safe] != keys]
+        raise KeyError(f"{len(missing)} lookup keys missing from the "
+                       f"broadcast table (first: {missing[:3]})")
+    return pos
+
+
 def _token_hashes(tokens: list[str]) -> np.ndarray:
     """md5 low-64 per token (== DuckDB's
     ``('0x'||substr(md5(tok),1,16))::UBIGINT`` — the property that makes
@@ -410,13 +425,10 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
                            np.int64)
             b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False),
                            np.int64)
-            ia = np.searchsorted(ids, a)
-            ib = np.searchsorted(ids, b)
             # candidates are emitted from these same signatures, so
-            # every id must resolve exactly (searchsorted would
-            # otherwise return a silent wrong row, unlike a dict)
-            assert (ids[ia] == a).all() and (ids[ib] == b).all()
-            return score_pairs(t, mat[ia], mat[ib])
+            # every id must resolve (loud KeyError otherwise)
+            return score_pairs(t, mat[_sorted_lookup(ids, a)],
+                               mat[_sorted_lookup(ids, b)])
 
         return agg.map_batches(verify_broadcast, batch_format="pyarrow")
 
@@ -789,12 +801,10 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
                            np.int64)
             b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False),
                            np.int64)
-            ia = np.searchsorted(ids, a)
-            ib = np.searchsorted(ids, b)
             # pair ids come from the same exploded grams the sizes
-            # aggregate over — every id must resolve exactly
-            assert (ids[ia] == a).all() and (ids[ib] == b).all()
-            return finish(t, grams[ia], grams[ib])
+            # aggregate over — every id must resolve (loud otherwise)
+            return finish(t, grams[_sorted_lookup(ids, a)],
+                          grams[_sorted_lookup(ids, b)])
 
         return inter.map_batches(score_broadcast, batch_format="pyarrow")
 

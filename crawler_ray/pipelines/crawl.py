@@ -557,6 +557,15 @@ class _TraceSpill:
         return t
 
 
+def _winner_key(url_col, hash_col) -> pa.Array:
+    """The composite finalize winner key.  ONE definition shared by the
+    broadcast/store producers and the build consumer — a format drift
+    between them would make index_in match nothing and silently write
+    an empty content_items."""
+    import pyarrow.compute as pc
+    return pc.binary_join_element_wise(url_col, hash_col, "\x00")
+
+
 def finalize_content_items(extracted_dir: str, out_dir: str,
                            order_of: dict[str, int] | None = None,
                            order_cols: list[str] | None = None,
@@ -699,8 +708,8 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
                                 for b in blocks]) if blocks
               else win_schema.base_schema.empty_table())
         wt = wt.append_column(
-            "winner_key", pc.binary_join_element_wise(
-                wt["last_url"], wt["similarity_hash"], "\x00"))
+            "winner_key", _winner_key(wt["last_url"],
+                                      wt["similarity_hash"]))
         # broadcast as ONE arrow table: arrow ships zero-copy from the
         # object store, so every build task reads the shared buffer
         # instead of re-unpickling a dict/DataFrame per batch (measured
@@ -721,10 +730,9 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
         from crawler_ray.state.tablestore import TableStore
 
         def add_winner_key(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            k = pc.binary_join_element_wise(
-                t["last_url"], t["similarity_hash"], "\x00")
-            return t.append_column("winner_key", k)
+            return t.append_column(
+                "winner_key", _winner_key(t["last_url"],
+                                          t["similarity_hash"]))
 
         winner_store_root = out_dir.rstrip("/") + ".winners"
         store = TableStore.create(
@@ -753,8 +761,7 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
     def build(t: pa.Table) -> pa.Table:
         import json as _json
         import pyarrow.compute as pc
-        keys = pc.binary_join_element_wise(
-            t["url_norm"], t["similarity_hash"], "\x00")
+        keys = _winner_key(t["url_norm"], t["similarity_hash"])
         valid, picked = lookup(keys)
         t = t.filter(valid)
         dom = pa.array([_json.dumps(d, ensure_ascii=False)
@@ -778,4 +785,17 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
     items.write_parquet(out_dir)
     if winner_store_root is not None:
         shutil.rmtree(winner_store_root, ignore_errors=True)
+    # invariant: each winner is built from exactly its last-visit row,
+    # so output rows == winners.  More rows means the same
+    # (url, similarity_hash) content row appeared in two spill parts
+    # (overlapping resume spills with unchanged content) — fail loudly
+    # instead of shipping silent duplicates.  Metadata-only check.
+    n_out = sum(pq.read_metadata(os.path.join(out_dir, f)).num_rows
+                for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    if n_out != n_winners:
+        raise ValueError(
+            f"finalize wrote {n_out} content items for {n_winners} "
+            f"winners — duplicate (url, similarity_hash) rows across "
+            f"extracted parts; re-run the crawl fresh (overlapping "
+            f"resume spills)")
     return out_dir

@@ -200,6 +200,35 @@ class TestWaveConformance:
         assert got[1]["url"] == "http://h.example/x"
         assert got[1]["content"] == "new body"
 
+    def test_finalize_rejects_duplicate_content_rows(self,
+                                                     tmp_path_factory):
+        """The SAME (url_norm, similarity_hash) row spilled into two
+        parts (overlapping resume spills, content unchanged) would
+        silently duplicate content items — finalize must fail loudly on
+        its rows==winners invariant instead."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+        from crawler_ray.pipelines.crawl import finalize_content_items
+
+        base = str(tmp_path_factory.mktemp("fin_dup_rows"))
+        ext = os.path.join(base, "extracted")
+        os.makedirs(ext)
+        row = {"url_norm": "http://h.example/x", "similarity_hash":
+               "aaaa11", "fetch_ok": True, "title": "t", "content":
+               "body", "content_type": "article", "date": None,
+               "author": None, "entities_json": "{}", "domains": [],
+               "wave": 0, "priority": 1.0, "depth": 0,
+               "job_type": "page", "parent_url": None,
+               "fetch_vts": 0.0, "host": "h.example"}
+        for i in range(2):
+            pq.write_table(pa.Table.from_pylist([row]),
+                           os.path.join(ext, f"part-{i}.parquet"))
+        with pytest.raises(ValueError, match="winners"):
+            finalize_content_items(
+                ext, os.path.join(base, "items"),
+                order_cols=["wave", "priority", "url_norm"])
+
     def test_finalize_winner_store_path_identical(self, wave_run,
                                                   tmp_path_factory):
         """winner_broadcast_threshold=0 forces the at-scale path — winners
