@@ -557,6 +557,12 @@ class _TraceSpill:
         return t
 
 
+# per-worker-process cache of the finalize winner-key index, keyed by
+# the broadcast ObjectRef (module-level so reused worker processes keep
+# it across build tasks; cleared when a new finalize broadcasts)
+_BUILD_IDX_CACHE: dict = {}
+
+
 def _winner_key(url_col, hash_col) -> pa.Array:
     """The composite finalize winner key.  ONE definition shared by the
     broadcast/store producers and the build consumer — a format drift
@@ -719,9 +725,22 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
 
         def lookup(keys: pa.Array) -> tuple[pa.Array, pa.Table]:
             w = ray.get(win_ref)
-            idx = pc.index_in(keys, value_set=w["winner_key"])
-            picked = w.take(idx.drop_null()).select(attr_cols)
-            return pc.is_valid(idx), picked
+            # pc.index_in rebuilds its hash set from the full value_set
+            # on EVERY call (~120 ms at 450k winners — hundreds of core
+            # seconds across a run's batches), so build the key index
+            # once per worker process instead; per-batch cost is then a
+            # few thousand dict hits (<1 ms)
+            key_idx = _BUILD_IDX_CACHE.get(win_ref)
+            if key_idx is None:
+                _BUILD_IDX_CACHE.clear()  # one finalize at a time
+                key_idx = {k: i for i, k in
+                           enumerate(w["winner_key"].to_pylist())}
+                _BUILD_IDX_CACHE[win_ref] = key_idx
+            pos = [key_idx.get(k) for k in keys.to_pylist()]
+            picked = w.take(pa.array(
+                [p for p in pos if p is not None],
+                pa.int64())).select(attr_cols)
+            return pa.array([p is not None for p in pos]), picked
     else:
         # winner table too big to broadcast: spill it KEY-SORTED as
         # range-partitioned parquet (one distributed sort of the SMALL
@@ -809,7 +828,10 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
             out = out.append_column(f"first_{c}", picked[f"first_{c}"])
         return out
 
-    items = ds2.map_batches(build, batch_format="pyarrow")
+    # batch_size coalesces the many tiny spill-part blocks (~170 rows
+    # each at 160k pages) so per-batch fixed lookup costs amortize
+    items = ds2.map_batches(build, batch_format="pyarrow",
+                            batch_size=4096)
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     items.write_parquet(out_dir)
