@@ -229,6 +229,11 @@ def classify_docs_model(sf_dir: str, model_dir: str | None = None,
     ).select_columns(["doc_id", "pred_class"])
 
 
+# per-worker-process cache of the curation winner index, keyed by the
+# broadcast ObjectRef (reused worker processes keep it across batches)
+_VERDICT_IDX_CACHE: dict = {}
+
+
 def curate_corpus(sf_dir: str, min_words: int = 30,
                   broadcast_threshold: int = 1_000_000,
                   join_partitions: int | None = None):
@@ -294,12 +299,20 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
                  "keep_id": pa.array([], pa.int64())})).combine_chunks())
 
         def verdict_broadcast(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
             w = ray.get(win_ref)
-            idx = pc.index_in(t["text_hash"], value_set=w["text_hash"])
-            keep_ids = np.asarray(
-                w["keep_id"].take(idx).to_numpy(zero_copy_only=False),
-                dtype=np.int64)
+            # pc.index_in rebuilds its hash set from the full value_set
+            # per call; build the hash->keep_id index once per worker
+            # process instead (same pattern as the finalize build)
+            key_idx = _VERDICT_IDX_CACHE.get(win_ref)
+            if key_idx is None:
+                _VERDICT_IDX_CACHE.clear()
+                key_idx = dict(zip(
+                    w["text_hash"].to_pylist(),
+                    w["keep_id"].to_numpy(zero_copy_only=False)))
+                _VERDICT_IDX_CACHE[win_ref] = key_idx
+            keep_ids = np.fromiter(
+                (key_idx[h] for h in t["text_hash"].to_pylist()),
+                dtype=np.int64, count=t.num_rows)
             return finish(t, keep_ids)
 
         return hashed.map_batches(verdict_broadcast,
