@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": dedup.minhash_lsh_pairs,
         "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "simhash_pairs": dedup.simhash_pairs,
+        "simhash_dedup_keep": dedup.simhash_dedup_keep,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         # similarity search
@@ -356,6 +357,69 @@ def _minhash_pairs_oracle_sql(num_perm: int = 128, bands: int = 32,
             FROM scored
             WHERE (matches * 1000) // {num_perm} >= {threshold_milli}""")
     return "".join(parts)
+
+
+_SIMHASH_PAIRS_SQL = r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[\p{L}\p{N}_]+')) AS tok
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                           AS h,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY doc_id, tok
+            ), bits AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN c
+                                ELSE -c END) AS vote
+                FROM tc CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ), sims0 AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit)
+                                     ELSE 0 END) AS UBIGINT) AS sim
+                FROM bits GROUP BY doc_id
+            ), sims AS (
+                SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
+                FROM documents d LEFT JOIN sims0 s USING (doc_id)
+            ), bands AS (
+                SELECT doc_id, sim, b.band,
+                       (sim >> (16 * b.band)) & 65535 AS key
+                FROM sims CROSS JOIN (SELECT unnest(range(4)) AS band) b
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sim AS sim_a, b.sim AS sim_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        """
+
+
+def _simhash_keep_oracle_sql() -> str:
+    """DuckDB twin of ``ops/dedup.py:simhash_dedup_keep``: the bit-exact
+    simhash pairs oracle wrapped as a CTE, then connected components by
+    the same recursive-CTE transitive closure as the minhash keep
+    oracle; keep = doc_id == component min."""
+    head, final = _SIMHASH_PAIRS_SQL.split("SELECT doc_a, doc_b,", 1)
+    body = head.split("WITH ", 1)[1]
+    return ("WITH RECURSIVE " + body.rstrip().rstrip(",") + """,
+            sh_pairs AS (
+            SELECT doc_a, doc_b,""" + final + """),
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM sh_pairs
+                      UNION SELECT doc_b, doc_a FROM sh_pairs),
+            reach AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+            SELECT s AS doc_id, s = least(s, min(d)) AS keep
+            FROM reach GROUP BY s""")
 
 
 def _minhash_keep_oracle_sql(**kwargs) -> str:
@@ -838,47 +902,7 @@ def oracle_sql() -> dict[str, str]:
         # (RE2 [\p{L}\p{N}_]+ == Python \w+ on L*/N*/_ text), per-distinct
         # -token count-weighted bit votes, 4x16-bit pigeonhole bands,
         # popcount verify.
-        "simhash_pairs": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(regexp_extract_all(lower(text),
-                                                 '[\p{L}\p{N}_]+')) AS tok
-                FROM documents
-            ), tc AS (
-                SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT
-                           AS h,
-                       CAST(count(*) AS BIGINT) AS c
-                FROM toks GROUP BY doc_id, tok
-            ), bits AS (
-                SELECT doc_id, b.bit,
-                       sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN c
-                                ELSE -c END) AS vote
-                FROM tc CROSS JOIN (SELECT unnest(range(64)) AS bit) b
-                GROUP BY doc_id, b.bit
-            ), sims0 AS (
-                SELECT doc_id,
-                       CAST(sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit)
-                                     ELSE 0 END) AS UBIGINT) AS sim
-                FROM bits GROUP BY doc_id
-            ), sims AS (
-                SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
-                FROM documents d LEFT JOIN sims0 s USING (doc_id)
-            ), bands AS (
-                SELECT doc_id, sim, b.band,
-                       (sim >> (16 * b.band)) & 65535 AS key
-                FROM sims CROSS JOIN (SELECT unnest(range(4)) AS band) b
-            ), cand AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.sim AS sim_a, b.sim AS sim_b
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.key = b.key
-                 AND a.doc_id < b.doc_id
-            )
-            SELECT doc_a, doc_b,
-                   CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-            FROM cand
-            WHERE bit_count(xor(sim_a, sim_b)) <= 3
-        """,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         # Winnowing reproduced bit-exactly in SQL: byte-level k-gram FNV
         # polynomial (power constants mod 2^64 inlined as literals, terms
         # summed in HUGEINT then wrapped), splitmix64 via 32-bit-limb
@@ -944,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_oracle_sql(),
         "minhash_dedup_keep": _minhash_keep_oracle_sql(),
+        "simhash_dedup_keep": _simhash_keep_oracle_sql(),
         #
         # knn_ivf / payload_features / crawl_trace /
         # crawl_content_items: not SQL-expressible (LSH internals,

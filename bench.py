@@ -104,6 +104,7 @@ def run_bench() -> dict:
         # propagation (includes Dataset.join rounds)
         "minhash_dedup_keep": lambda: dedup.minhash_dedup_keep(sf_dir),
         "simhash_pairs": lambda: dedup.simhash_pairs(sf_dir),
+        "simhash_dedup_keep": lambda: dedup.simhash_dedup_keep(sf_dir),
         "embedding_dup_pairs": lambda: dedup.embedding_dup_pairs(sf_dir),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(sf_dir),
         "token_counts": lambda: textstats.token_counts(sf_dir),

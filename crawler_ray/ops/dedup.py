@@ -476,6 +476,17 @@ def minhash_dedup_keep(sf_dir: str, max_rounds: int = 64,
     pairs = (minhash_lsh_pairs(sf_dir, join_partitions=join_partitions,
                                **kwargs)
              .select_columns(["doc_a", "doc_b"]).materialize())
+    return _components_keep(pairs, requested_jp, max_rounds)
+
+
+def _components_keep(pairs, requested_jp: int | None, max_rounds: int):
+    """Shared keep-decision over a materialized (doc_a, doc_b) pair
+    Dataset: distributed min-label propagation (see minhash_dedup_keep
+    docstring for the convergence argument)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
     if pairs.count() == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "keep": pa.array([], pa.bool_())})
@@ -641,6 +652,22 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
     from ray.data.aggregate import Min
     return (pairs.groupby(["doc_a", "doc_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
+
+
+def simhash_dedup_keep(sf_dir: str, max_hamming: int = 3,
+                       max_rounds: int = 64,
+                       join_partitions: int | None = None,
+                       table: str = "documents"):
+    """Dedup decision from SimHash pairs: the same distributed
+    min-label-propagation connected components as
+    ``minhash_dedup_keep`` (see its docstring), over the Hamming-
+    verified SimHash pair graph.  Returns (doc_id, keep) for docs that
+    appear in any near-dup pair; keep = doc_id is its component's min.
+    SQL twin: the bit-exact ``simhash_pairs`` oracle wrapped in a
+    recursive-CTE transitive closure (``__ray_entry__``)."""
+    pairs = (simhash_pairs(sf_dir, max_hamming=max_hamming, table=table)
+             .select_columns(["doc_a", "doc_b"]).materialize())
+    return _components_keep(pairs, join_partitions, max_rounds)
 
 
 # ---------------------------------------------------------------------------

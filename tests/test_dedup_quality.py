@@ -73,6 +73,33 @@ def test_simhash_finds_exact_and_near(planted_corpus):
         assert ham[p] == 0
 
 
+def test_simhash_dedup_keep_components(planted_corpus):
+    """Keep decision over SimHash pairs: exactly one keeper (the min
+    doc_id) per connected component of the pair graph."""
+    sf_dir, near, exact = planted_corpus
+    pairs = dedup.simhash_pairs(sf_dir, max_hamming=6).to_pandas()
+    keep = dedup.simhash_dedup_keep(sf_dir, max_hamming=6).to_pandas()
+    keep_of = dict(zip(keep["doc_id"].astype(int), keep["keep"]))
+    # union-find ground truth over the same pairs
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(pairs["doc_a"].astype(int),
+                    pairs["doc_b"].astype(int)):
+        parent[find(a)] = find(b)
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    assert set(keep_of) == set(parent)
+    for members in comps.values():
+        keepers = [m for m in members if keep_of[m]]
+        assert keepers == [min(members)]
+
+
 def test_ngram_jaccard_scores_planted(planted_corpus):
     sf_dir, near, exact = planted_corpus
     pairs = dedup.ngram_jaccard_pairs(sf_dir, threshold_milli=500).to_pandas()
