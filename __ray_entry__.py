@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_keep": dedup.simhash_dedup_keep,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "embedding_dedup_keep": dedup.embedding_dedup_keep,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
@@ -419,6 +420,35 @@ def _simhash_keep_oracle_sql() -> str:
                 UNION
                 SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
             SELECT s AS doc_id, s = least(s, min(d)) AS keep
+            FROM reach GROUP BY s""")
+
+
+_EMBEDDING_PAIRS_SQL = """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   CAST(FLOOR(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) * 1000) AS BIGINT)
+                       AS cos_milli
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """
+
+
+def _embedding_keep_oracle_sql() -> str:
+    """DuckDB twin of ``ops/dedup.py:embedding_dedup_keep``: the cosine
+    pairs oracle wrapped as a CTE, then the same recursive-CTE
+    transitive closure as the minhash/simhash keep oracles."""
+    return ("WITH RECURSIVE emb_pairs AS (" + _EMBEDDING_PAIRS_SQL + """),
+            edges AS (SELECT vec_id_a AS s, vec_id_b AS d FROM emb_pairs
+                      UNION SELECT vec_id_b, vec_id_a FROM emb_pairs),
+            reach AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+            SELECT s AS vec_id, s = least(s, min(d)) AS keep
             FROM reach GROUP BY s""")
 
 
@@ -880,18 +910,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             WHERE rnk <= 10
         """,
-        "embedding_dup_pairs": """
-            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-                   CAST(FLOOR(list_cosine_similarity(
-                        CAST(a.embedding AS DOUBLE[]),
-                        CAST(b.embedding AS DOUBLE[])) * 1000) AS BIGINT)
-                       AS cos_milli
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(
-                      CAST(a.embedding AS DOUBLE[]),
-                      CAST(b.embedding AS DOUBLE[])) >= 0.4
-        """,
+        "embedding_dup_pairs": _EMBEDDING_PAIRS_SQL,
         "payload_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
                        AS n_bytes
@@ -969,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle_sql(),
         "minhash_dedup_keep": _minhash_keep_oracle_sql(),
         "simhash_dedup_keep": _simhash_keep_oracle_sql(),
+        "embedding_dedup_keep": _embedding_keep_oracle_sql(),
         #
         # knn_ivf / payload_features / crawl_trace /
         # crawl_content_items: not SQL-expressible (LSH internals,

@@ -479,16 +479,17 @@ def minhash_dedup_keep(sf_dir: str, max_rounds: int = 64,
     return _components_keep(pairs, requested_jp, max_rounds)
 
 
-def _components_keep(pairs, requested_jp: int | None, max_rounds: int):
+def _components_keep(pairs, requested_jp: int | None, max_rounds: int,
+                     id_name: str = "doc_id"):
     """Shared keep-decision over a materialized (doc_a, doc_b) pair
     Dataset: distributed min-label propagation (see minhash_dedup_keep
-    docstring for the convergence argument)."""
+    docstring for the convergence argument).  Output: (id_name, keep)."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Min
 
     if pairs.count() == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
+        return pa.table({id_name: pa.array([], pa.int64()),
                          "keep": pa.array([], pa.bool_())})
 
     def both_dirs(t: pa.Table) -> pa.Table:
@@ -543,7 +544,7 @@ def _components_keep(pairs, requested_jp: int | None, max_rounds: int):
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({
-            "doc_id": t["node"],
+            id_name: t["node"],
             "keep": pc.equal(t["node"], t["label"])})
 
     return labels.map_batches(finish, batch_format="pyarrow")
@@ -894,3 +895,22 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
                           "cos_milli": "int64"})
 
     return ds.groupby("label").map_groups(per_label, batch_format="pandas")
+
+
+def embedding_dedup_keep(sf_dir: str, threshold: float = 0.4,
+                         max_rounds: int = 64,
+                         join_partitions: int | None = None):
+    """Dedup decision from embedding-cosine pairs: the shared
+    distributed min-label-propagation components (see
+    ``minhash_dedup_keep``) over the label-blocked cosine pair graph.
+    Returns (vec_id, keep); keep = vec_id is its component's min.  SQL
+    twin: the pairs oracle wrapped in the recursive-CTE closure."""
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": t["vec_id_a"], "doc_b": t["vec_id_b"]})
+
+    pairs = (embedding_dup_pairs(sf_dir, threshold=threshold)
+             .map_batches(to_edges, batch_format="pyarrow")
+             .materialize())
+    return _components_keep(pairs, join_partitions, max_rounds,
+                            id_name="vec_id")

@@ -135,3 +135,29 @@ class TestMultimodal:
         # deterministic across instances (setup state is per-actor but
         # content depends only on payload + target dims)
         assert FakeResize(64, 32)(t).equals(out)
+
+
+class TestEmbeddingDedupKeep:
+    def test_one_keeper_per_component(self, ray_session):
+        from crawler_ray.ops import dedup
+        pairs = dedup.embedding_dup_pairs(SF).to_pandas()
+        keep = dedup.embedding_dedup_keep(SF).to_pandas()
+        keep_of = dict(zip(keep["vec_id"].astype(int), keep["keep"]))
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["vec_id_a"].astype(int),
+                        pairs["vec_id_b"].astype(int)):
+            parent[find(a)] = find(b)
+        comps: dict[int, list[int]] = {}
+        for n in parent:
+            comps.setdefault(find(n), []).append(n)
+        assert set(keep_of) == set(parent)
+        for members in comps.values():
+            assert [m for m in members if keep_of[m]] == [min(members)]
