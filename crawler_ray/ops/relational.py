@@ -454,7 +454,8 @@ def domain_content_links(sf_dir: str):
     return ds.map_batches(link, batch_format="pyarrow")
 
 
-def expert_domain_links(sf_dir: str, join_partitions: int | None = None):
+def expert_domain_links(sf_dir: str, join_partitions: int | None = None,
+                        broadcast_threshold: int = 1_000_000):
     """The reference's scored expert<->domain M2M link table
     (``database/schema.py:92-102`` ``expert_domain``: confidence per
     (expert, domain)).  Experts/answers are derived deterministically
@@ -463,12 +464,17 @@ def expert_domain_links(sf_dir: str, join_partitions: int | None = None):
     replay it; per-domain confidence = the expert's answer share in that
     domain (integer milli).
 
-    Plan shape: answers join the per-doc domain table keyed by doc_id
-    (hash-partitioned ``Dataset.join`` — no broadcast of a #docs-sized
-    map), per-(expert, domain) counts and per-expert totals are two
-    small aggregates joined back on expert_id.
+    Plan shape, by the usual planner decision: the per-doc domain map
+    and the per-expert totals are each BROADCAST (id-sorted numpy +
+    int8 domain codes — zero-copy from the object store) when their
+    row counts are at or under ``broadcast_threshold``, resolved with
+    one vectorized searchsorted per batch; above it they become
+    doc_id- / expert_id-keyed hash ``Dataset.join``s so neither table
+    ever lands on the driver.  ``broadcast_threshold=0`` forces the
+    join path (pytest pins the two identical).
     Output: (expert_id, domain, n_answers, confidence_milli)."""
     import pyarrow.dataset as pads
+    import ray
     from ray.data.aggregate import Count, Sum
 
     from crawler_ray.ops.dedup import _join_partitions, _join_ready
@@ -477,9 +483,6 @@ def expert_domain_links(sf_dir: str, join_partitions: int | None = None):
                           format="parquet").count_rows()
     n_orders = pads.dataset(f"{sf_dir}/orders.parquet",
                             format="parquet").count_rows()
-    # partitions sized to the bigger join side (answers = orders rows,
-    # known for free from parquet metadata)
-    jp = _join_partitions(join_partitions, approx_rows=n_orders)
     classed = domain_content_links(sf_dir).select_columns(
         ["content_id", "domain"])
 
@@ -493,24 +496,91 @@ def expert_domain_links(sf_dir: str, join_partitions: int | None = None):
             "content_id": pa.array(keys % n_docs, pa.int64())})
 
     answers = orders.map_batches(to_answers, batch_format="pyarrow")
-    ad = answers.join(classed, "inner", num_partitions=jp,
-                      on=("content_id",))
+
+    if n_docs <= broadcast_threshold:
+        blocks = [b for b in ray.get(classed.to_arrow_refs())
+                  if b.num_rows]
+        ct = (pa.concat_tables(blocks) if blocks
+              else pa.table({"content_id": pa.array([], pa.int64()),
+                             "domain": pa.array([], pa.string())}))
+        enc = ct["domain"].combine_chunks().dictionary_encode()
+        names = [str(v) for v in enc.dictionary.to_pylist()]
+        ids = np.asarray(ct["content_id"].to_numpy(
+            zero_copy_only=False), np.int64)
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int32)
+        srt = np.argsort(ids, kind="stable")
+        dom_ref = ray.put((ids[srt], codes[srt]))
+
+        def attach_domain(t: pa.Table) -> pa.Table:
+            d_ids, d_codes = ray.get(dom_ref)
+            k = np.asarray(t["content_id"].to_numpy(
+                zero_copy_only=False), np.int64)
+            if len(d_ids) == 0:
+                hit = np.zeros(len(k), bool)
+                dom = np.empty(0, np.int32)
+            else:
+                pos = np.searchsorted(d_ids, k)
+                safe = np.minimum(pos, len(d_ids) - 1)
+                hit = d_ids[safe] == k  # miss = doc without domain rows
+                dom = d_codes[safe[hit]]
+            return pa.table({
+                "expert_id": t["expert_id"].filter(pa.array(hit)),
+                "domain": pa.array([names[c] for c in dom],
+                                   pa.string())})
+
+        ad = answers.map_batches(attach_domain, batch_format="pyarrow")
+    else:
+        # partitions sized to the bigger join side (answers = orders
+        # rows, known for free from parquet metadata)
+        jp = _join_partitions(join_partitions, approx_rows=n_orders)
+        ad = answers.join(classed, "inner", num_partitions=jp,
+                          on=("content_id",))
+
     gc = _join_ready(
         ad.groupby(["expert_id", "domain"])
         .aggregate(Count(alias_name="n_answers")),
         pa.schema([("expert_id", pa.int64()), ("domain", pa.string()),
                    ("n_answers", pa.int64())]))
-    tot = _join_ready(
-        gc.groupby("expert_id").aggregate(
-            Sum("n_answers", alias_name="total")),
-        pa.schema([("expert_id", pa.int64()),
-                   ("total", pa.int64())]))
     out_schema = pa.schema(
         [("expert_id", pa.int64()), ("domain", pa.string()),
          ("n_answers", pa.int64()), ("confidence_milli", pa.int64())])
     n_gc = gc.count()  # cheap: _join_ready materialized the aggregate
     if n_gc == 0:
         return _rd().from_arrow(out_schema.empty_table())
+
+    if n_gc <= broadcast_threshold:
+        gblocks = [b for b in ray.get(gc.to_arrow_refs()) if b.num_rows]
+        gt = pa.concat_tables(gblocks)
+        e_ids = np.asarray(gt["expert_id"].to_numpy(
+            zero_copy_only=False), np.int64)
+        n_ans = np.asarray(gt["n_answers"].to_numpy(
+            zero_copy_only=False), np.int64)
+        uniq, inv = np.unique(e_ids, return_inverse=True)
+        totals = np.zeros(len(uniq), np.int64)
+        np.add.at(totals, inv, n_ans)
+        tot_ref = ray.put((uniq, totals))
+
+        def score_bcast(t: pa.Table) -> pa.Table:
+            t_ids, t_tot = ray.get(tot_ref)
+            from crawler_ray.ops.dedup import _sorted_lookup
+            k = np.asarray(t["expert_id"].to_numpy(
+                zero_copy_only=False), np.int64)
+            total = t_tot[_sorted_lookup(t_ids, k)]
+            n = t["n_answers"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "expert_id": t["expert_id"], "domain": t["domain"],
+                "n_answers": t["n_answers"],
+                "confidence_milli": pa.array(n * 1000 // total,
+                                             pa.int64())})
+
+        return gc.map_batches(score_bcast, batch_format="pyarrow")
+
+    tot = _join_ready(
+        gc.groupby("expert_id").aggregate(
+            Sum("n_answers", alias_name="total")),
+        pa.schema([("expert_id", pa.int64()),
+                   ("total", pa.int64())]))
     joined = gc.join(tot, "inner",
                      num_partitions=_join_partitions(join_partitions,
                                                      approx_rows=n_gc),

@@ -91,6 +91,18 @@ def test_query_matches_oracle(name, ray_session, duck):
         f"(mine {len(mine)} rows, oracle {len(theirs)} rows)")
 
 
+def test_expert_domain_links_join_path_equivalent(ray_session):
+    """broadcast_threshold=0 forces the at-scale doc_id-/expert_id-keyed
+    joins; the scored link table must be identical to the broadcast
+    (id-sorted numpy) path."""
+    from crawler_ray.ops.relational import expert_domain_links
+    key = ["expert_id", "domain"]
+    bc = _to_pandas(expert_domain_links(SF_DIR)).sort_values(key)
+    jn = _to_pandas(expert_domain_links(SF_DIR, broadcast_threshold=0)
+                    ).sort_values(key)
+    assert (bc.reset_index(drop=True).equals(jn.reset_index(drop=True)))
+
+
 def test_curate_corpus_join_path_equivalent(ray_session):
     """broadcast_threshold=0 forces the at-scale hash-keyed winner join;
     the verdicts must be identical to the broadcast path."""
