@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_ivf": similarity.knn_ivf,
+        # LSH-bucketed ANN (multi-table sign-pattern hashes; recall
+        # pytest-pinned vs brute force, rows-only: numpy RNG planes)
+        "knn_lsh": similarity.knn_lsh,
         # text analysis (M15-M19 analogs + quality/fingerprint)
         "token_counts": textstats.token_counts,
         "lang_id": textstats.lang_id,

@@ -107,6 +107,7 @@ def run_bench() -> dict:
         "simhash_dedup_keep": lambda: dedup.simhash_dedup_keep(sf_dir),
         "embedding_dup_pairs": lambda: dedup.embedding_dup_pairs(sf_dir),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(sf_dir),
+        "knn_lsh": lambda: similarity.knn_lsh(sf_dir),
         "token_counts": lambda: textstats.token_counts(sf_dir),
         "lang_id": lambda: textstats.lang_id(sf_dir),
         "fingerprints": lambda: textstats.fingerprints(sf_dir),

@@ -10,6 +10,10 @@
   to its nearest centroid in one vectorized pass; queries probe only the
   top-``nprobe`` centroid buckets.  Recall vs the brute-force baseline is
   measured in tests, not assumed.
+- ``knn_lsh``: the second scale path — signed-random-projection LSH
+  buckets with least-confident-bit multiprobe; no training pass at all
+  (the hyperplanes are fixed seeded draws), so it suits streaming
+  corpora where a k-means sample is stale on arrival.
 """
 
 from __future__ import annotations
@@ -19,7 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["knn_bruteforce", "knn_ivf", "ivf_build_centroids"]
+__all__ = ["knn_bruteforce", "knn_ivf", "ivf_build_centroids",
+           "knn_lsh"]
 
 
 def _rd():
@@ -173,6 +178,88 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 4,
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids_)):
             mask = np.isin(assign, probe_[qi])
+            if not mask.any():
+                continue
+            sub_ids, sub = ids[mask], mat[mask]
+            scores = sub @ qmat_[qi]
+            idx = np.lexsort((sub_ids, -scores))[:k]
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_v.extend(sub_ids[idx].tolist())
+            out_s.extend(scores[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pandas")
+
+
+def _lsh_planes(sf_dir: str, n_tables: int, n_bits: int,
+                seed: int) -> np.ndarray:
+    """Deterministic signed-random-projection hyperplanes for
+    ``n_tables`` independent hash tables, shape (n_tables, n_bits,
+    dim).  The embedding dimension comes from one row-group read of
+    the first row — never the table."""
+    import pyarrow.dataset as pads
+
+    frag = next(pads.dataset(f"{sf_dir}/embeddings.parquet",
+                             format="parquet").get_fragments())
+    one = frag.head(1, columns=["embedding"])
+    dim = len(one["embedding"][0].as_py())
+    return np.random.RandomState(seed).randn(n_tables, n_bits, dim)
+
+
+def _lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Per-table sign patterns packed into int64: (rows, n_tables)."""
+    bits = np.einsum("rd,tbd->rtb", mat, planes) > 0
+    weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 4,
+            n_tables: int = 8, n_bits: int = 4, seed: int = 7):
+    """LSH-bucketed approximate top-k (the second scale path beside
+    IVF): the classic multi-table construction — ``n_tables``
+    independent sign-pattern hashes of ``n_bits`` each; a vector is a
+    candidate for a query if ANY table puts them in the same bucket
+    (per-table collision prob ~ (1 - theta/pi)^n_bits, union over
+    tables drives recall).  No training pass at all, so it suits
+    streaming corpora where an IVF k-means sample is stale on arrival.
+    Same partial-top-k combiner shape as ``knn_bruteforce`` — only
+    k rows per (query, batch) ever shuffle.  Output shape identical to
+    ``knn_bruteforce``; recall vs the exact baseline is measured in
+    tests (``tests/test_similarity_multimodal.py``), not assumed.
+    Rows-only in the driver gate: the hyperplanes are numpy RNG draws
+    with no SQL twin."""
+    import ray
+
+    planes = _lsh_planes(sf_dir, n_tables, n_bits, seed)
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    qcodes = _lsh_codes(qmat, planes)          # (n_q, n_tables)
+    ctx_ref = ray.put((qids, qmat, planes, qcodes))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qids_, qmat_, planes_, qcodes_ = ray.get(ctx_ref)
+        ids = np.asarray(t["vec_id"].to_pylist())
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                          1e-12)
+        codes = _lsh_codes(mat, planes_)       # (rows, n_tables)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            mask = (codes == qcodes_[qi][None, :]).any(axis=1)
             if not mask.any():
                 continue
             sub_ids, sub = ids[mask], mat[mask]

@@ -40,6 +40,27 @@ class TestANN:
                 ivf.sort_values(key).reset_index(drop=True)[
                     ["query_id", "vec_id", "rank"]]))
 
+    def test_lsh_recall_vs_bruteforce(self):
+        from crawler_ray.ops import similarity
+        bf = similarity.knn_bruteforce(SF, k=10, n_queries=4).to_pandas()
+        lsh = similarity.knn_lsh(SF, k=10, n_queries=4).to_pandas()
+        rec = _recalls(bf, lsh)
+        # deterministic fixture: measured 0.775 mean at 8 tables x 4
+        # bits on these near-random embeddings (the hardest LSH case)
+        assert sum(rec) / len(rec) >= 0.6
+
+    def test_lsh_recall_monotone_in_tables(self):
+        from crawler_ray.ops import similarity
+        bf = similarity.knn_bruteforce(SF, k=10, n_queries=4).to_pandas()
+        means = []
+        for n_tables in (4, 16):
+            lsh = similarity.knn_lsh(SF, k=10, n_queries=4,
+                                     n_tables=n_tables,
+                                     n_bits=6).to_pandas()
+            rec = _recalls(bf, lsh)
+            means.append(sum(rec) / len(rec))
+        assert means[1] >= means[0]
+
     def test_recall_monotone_in_nprobe(self):
         from crawler_ray.ops import similarity
         bf = similarity.knn_bruteforce(SF, k=10, n_queries=4).to_pandas()
