@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "simhash_dedup_keep": dedup.simhash_dedup_keep,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ngram_jaccard_dedup_keep": dedup.ngram_jaccard_dedup_keep,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_dedup_keep": dedup.embedding_dedup_keep,
         # similarity search
@@ -455,6 +456,54 @@ def _embedding_keep_oracle_sql() -> str:
             FROM reach GROUP BY s""")
 
 
+_NGRAM_PAIRS_SQL = """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+                    FROM toks)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS c
+                FROM grams a JOIN grams b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (c * 1000) // (sa.n + sb.n - c) AS jaccard_milli
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE (c * 1000) // (sa.n + sb.n - c) >= 500
+        """
+
+
+def _ngram_keep_oracle_sql() -> str:
+    """DuckDB twin of ``ops/dedup.py:ngram_jaccard_dedup_keep``: the
+    exact Jaccard pairs oracle wrapped as a CTE, then the shared
+    recursive-CTE transitive closure."""
+    head, final = _NGRAM_PAIRS_SQL.split("SELECT doc_a, doc_b,", 1)
+    body = head.split("WITH ", 1)[1]
+    return ("WITH RECURSIVE " + body.rstrip().rstrip(",") + """,
+            ng_pairs AS (
+            SELECT doc_a, doc_b,""" + final + """),
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM ng_pairs
+                      UNION SELECT doc_b, doc_a FROM ng_pairs),
+            reach AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+            SELECT s AS doc_id, s = least(s, min(d)) AS keep
+            FROM reach GROUP BY s""")
+
+
 def _minhash_keep_oracle_sql(**kwargs) -> str:
     """DuckDB twin of ``ops/dedup.py:minhash_dedup_keep``: the bit-exact
     pairs oracle wrapped as a CTE, then connected components by a
@@ -669,33 +718,7 @@ def oracle_sql() -> dict[str, str]:
                    (g.n_answers * 1000) // t.total AS confidence_milli
             FROM gc g JOIN tot t USING (expert_id)
         """,
-        "ngram_jaccard_pairs": """
-            WITH toks AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
-                FROM documents
-            ), grams AS (
-                SELECT DISTINCT doc_id, gram FROM (
-                    SELECT doc_id, unnest(list_transform(
-                        generate_series(1, len(t) - 2),
-                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
-                    FROM toks)
-            ), sizes AS (
-                SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
-            ), inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       COUNT(*) AS c
-                FROM grams a JOIN grams b
-                  ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT doc_a, doc_b,
-                   (c * 1000) // (sa.n + sb.n - c) AS jaccard_milli
-            FROM inter
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id
-            WHERE (c * 1000) // (sa.n + sb.n - c) >= 500
-        """,
+        "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
         "classify_docs": """
             -- keywords counted over [a-z0-9_]+ tokens (not \\b boundaries):
             -- Python re boundaries are Unicode-aware, RE2's are ASCII
@@ -992,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_keep": _minhash_keep_oracle_sql(),
         "simhash_dedup_keep": _simhash_keep_oracle_sql(),
         "embedding_dedup_keep": _embedding_keep_oracle_sql(),
+        "ngram_jaccard_dedup_keep": _ngram_keep_oracle_sql(),
         #
         # knn_ivf / payload_features / crawl_trace /
         # crawl_content_items: not SQL-expressible (LSH internals,

@@ -897,6 +897,19 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     return ds.groupby("label").map_groups(per_label, batch_format="pandas")
 
 
+def ngram_jaccard_dedup_keep(sf_dir: str, max_rounds: int = 64,
+                             join_partitions: int | None = None,
+                             **kwargs):
+    """Dedup decision from exact n-gram Jaccard pairs: the shared
+    distributed min-label-propagation components (see
+    ``minhash_dedup_keep``) over the thresholded Jaccard pair graph.
+    Returns (doc_id, keep).  SQL twin: the exact pairs oracle wrapped
+    in the recursive-CTE transitive closure (``__ray_entry__``)."""
+    pairs = (ngram_jaccard_pairs(sf_dir, **kwargs)
+             .select_columns(["doc_a", "doc_b"]).materialize())
+    return _components_keep(pairs, join_partitions, max_rounds)
+
+
 def embedding_dedup_keep(sf_dir: str, threshold: float = 0.4,
                          max_rounds: int = 64,
                          join_partitions: int | None = None):
