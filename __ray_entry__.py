@@ -416,15 +416,8 @@ def _simhash_keep_oracle_sql() -> str:
     body = head.split("WITH ", 1)[1]
     return ("WITH RECURSIVE " + body.rstrip().rstrip(",") + """,
             sh_pairs AS (
-            SELECT doc_a, doc_b,""" + final + """),
-            edges AS (SELECT doc_a AS s, doc_b AS d FROM sh_pairs
-                      UNION SELECT doc_b, doc_a FROM sh_pairs),
-            reach AS (
-                SELECT s, d FROM edges
-                UNION
-                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-            SELECT s AS doc_id, s = least(s, min(d)) AS keep
-            FROM reach GROUP BY s""")
+            SELECT doc_a, doc_b,""" + final + """)"""
+            + _keep_closure("sh_pairs", "doc_a", "doc_b", "doc_id"))
 
 
 _EMBEDDING_PAIRS_SQL = """
@@ -441,19 +434,30 @@ _EMBEDDING_PAIRS_SQL = """
         """
 
 
-def _embedding_keep_oracle_sql() -> str:
-    """DuckDB twin of ``ops/dedup.py:embedding_dedup_keep``: the cosine
-    pairs oracle wrapped as a CTE, then the same recursive-CTE
-    transitive closure as the minhash/simhash keep oracles."""
-    return ("WITH RECURSIVE emb_pairs AS (" + _EMBEDDING_PAIRS_SQL + """),
-            edges AS (SELECT vec_id_a AS s, vec_id_b AS d FROM emb_pairs
-                      UNION SELECT vec_id_b, vec_id_a FROM emb_pairs),
+def _keep_closure(pairs_cte: str, a: str, b: str,
+                  id_name: str) -> str:
+    """The shared transitive-closure suffix of every *_dedup_keep
+    oracle: undirected edges from the named pairs CTE, recursive
+    reachability, keep = id == component min.  ONE definition so the
+    four keep oracles cannot drift."""
+    return f""",
+            edges AS (SELECT {a} AS s, {b} AS d FROM {pairs_cte}
+                      UNION SELECT {b}, {a} FROM {pairs_cte}),
             reach AS (
                 SELECT s, d FROM edges
                 UNION
                 SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-            SELECT s AS vec_id, s = least(s, min(d)) AS keep
-            FROM reach GROUP BY s""")
+            SELECT s AS {id_name}, s = least(s, min(d)) AS keep
+            FROM reach GROUP BY s"""
+
+
+def _embedding_keep_oracle_sql() -> str:
+    """DuckDB twin of ``ops/dedup.py:embedding_dedup_keep``: the cosine
+    pairs oracle wrapped as a CTE, then the same recursive-CTE
+    transitive closure as the minhash/simhash keep oracles."""
+    return ("WITH RECURSIVE emb_pairs AS (" + _EMBEDDING_PAIRS_SQL + """)"""
+            + _keep_closure("emb_pairs", "vec_id_a", "vec_id_b",
+                            "vec_id"))
 
 
 _NGRAM_PAIRS_SQL = """
@@ -493,15 +497,8 @@ def _ngram_keep_oracle_sql() -> str:
     body = head.split("WITH ", 1)[1]
     return ("WITH RECURSIVE " + body.rstrip().rstrip(",") + """,
             ng_pairs AS (
-            SELECT doc_a, doc_b,""" + final + """),
-            edges AS (SELECT doc_a AS s, doc_b AS d FROM ng_pairs
-                      UNION SELECT doc_b, doc_a FROM ng_pairs),
-            reach AS (
-                SELECT s, d FROM edges
-                UNION
-                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-            SELECT s AS doc_id, s = least(s, min(d)) AS keep
-            FROM reach GROUP BY s""")
+            SELECT doc_a, doc_b,""" + final + """)"""
+            + _keep_closure("ng_pairs", "doc_a", "doc_b", "doc_id"))
 
 
 def _minhash_keep_oracle_sql(**kwargs) -> str:
@@ -517,15 +514,8 @@ def _minhash_keep_oracle_sql(**kwargs) -> str:
     ctes, final = body.rsplit("\n            SELECT doc_a, doc_b,", 1)
     return ("WITH RECURSIVE " + ctes + """,
             mh_pairs AS (
-            SELECT doc_a, doc_b,""" + final + """),
-            edges AS (SELECT doc_a AS s, doc_b AS d FROM mh_pairs
-                      UNION SELECT doc_b, doc_a FROM mh_pairs),
-            reach AS (
-                SELECT s, d FROM edges
-                UNION
-                SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-            SELECT s AS doc_id, s = least(s, min(d)) AS keep
-            FROM reach GROUP BY s""")
+            SELECT doc_a, doc_b,""" + final + """)"""
+            + _keep_closure("mh_pairs", "doc_a", "doc_b", "doc_id"))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -905,7 +905,8 @@ def ngram_jaccard_dedup_keep(sf_dir: str, max_rounds: int = 64,
     ``minhash_dedup_keep``) over the thresholded Jaccard pair graph.
     Returns (doc_id, keep).  SQL twin: the exact pairs oracle wrapped
     in the recursive-CTE transitive closure (``__ray_entry__``)."""
-    pairs = (ngram_jaccard_pairs(sf_dir, **kwargs)
+    pairs = (ngram_jaccard_pairs(sf_dir, join_partitions=join_partitions,
+                                 **kwargs)
              .select_columns(["doc_a", "doc_b"]).materialize())
     return _components_keep(pairs, join_partitions, max_rounds)
 

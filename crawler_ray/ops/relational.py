@@ -526,8 +526,8 @@ def expert_domain_links(sf_dir: str, join_partitions: int | None = None,
                 dom = d_codes[safe[hit]]
             return pa.table({
                 "expert_id": t["expert_id"].filter(pa.array(hit)),
-                "domain": pa.array([names[c] for c in dom],
-                                   pa.string())})
+                "domain": pa.array(names, pa.string()).take(
+                    pa.array(dom, pa.int32()))})
 
         ad = answers.map_batches(attach_domain, batch_format="pyarrow")
     else:

@@ -10,10 +10,11 @@
   to its nearest centroid in one vectorized pass; queries probe only the
   top-``nprobe`` centroid buckets.  Recall vs the brute-force baseline is
   measured in tests, not assumed.
-- ``knn_lsh``: the second scale path — signed-random-projection LSH
-  buckets with least-confident-bit multiprobe; no training pass at all
-  (the hyperplanes are fixed seeded draws), so it suits streaming
-  corpora where a k-means sample is stale on arrival.
+- ``knn_lsh``: the second scale path — multi-table signed-random-
+  projection LSH (a vector is a candidate when ANY table buckets it
+  with the query); no training pass at all (the hyperplanes are fixed
+  seeded draws), so it suits streaming corpora where a k-means sample
+  is stale on arrival.
 """
 
 from __future__ import annotations
@@ -65,6 +66,49 @@ def _load_queries(sf_dir: str,
     return ids[order], q
 
 
+def _batch_vectors(t: pa.Table):
+    """(ids, L2-normalized float64 matrix) for one embeddings batch."""
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat
+
+
+def _masked_topk_table(qids_, qmat_, ids, mat, k, mask_of) -> pa.Table:
+    """Per-query candidate-mask partial top-k (shared by the IVF and
+    LSH paths; the brute-force path scores all queries in one matmul
+    instead)."""
+    out_q, out_v, out_s = [], [], []
+    for qi in range(len(qids_)):
+        mask = mask_of(qi)
+        if not mask.any():
+            continue
+        sub_ids, sub = ids[mask], mat[mask]
+        scores = sub @ qmat_[qi]
+        idx = np.lexsort((sub_ids, -scores))[:k]
+        out_q.extend([int(qids_[qi])] * len(idx))
+        out_v.extend(sub_ids[idx].tolist())
+        out_s.extend(scores[idx].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_v, pa.int64()),
+                     "score": pa.array(out_s, pa.float64())})
+
+
+def _final_topk_groups(partials, k: int):
+    """Global top-k per query over the partial (query_id, vec_id,
+    score) rows — ranks break score ties by vec_id (deterministic)."""
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pandas")
+
+
 def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 4):
     """Exact cosine top-k for the first ``n_queries`` vec_ids.  Returns
     (query_id, vec_id, rank) — ranks break score ties by vec_id so the
@@ -76,9 +120,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 4):
 
     def partial_topk(t: pa.Table) -> pa.Table:
         qids_, qmat_ = ray.get(q_ref)
-        ids = np.asarray(t["vec_id"].to_pylist())
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ids, mat = _batch_vectors(t)
         scores = qmat_ @ mat.T              # (n_q, n_batch)
         out_q, out_v, out_s = [], [], []
         kk = min(k, scores.shape[1])
@@ -97,15 +139,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 4):
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1)
-        return g[["query_id", "vec_id", "rank"]]
-
-    return partials.groupby("query_id").map_groups(final_topk,
-                                                   batch_format="pandas")
+    return _final_topk_groups(partials, k)
 
 
 def ivf_build_centroids(sf_dir: str, n_centroids: int = 16,
@@ -171,39 +205,18 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 4,
 
     def partial_topk(t: pa.Table) -> pa.Table:
         qids_, qmat_, cents, probe_ = ray.get(ctx_ref)
-        ids = np.asarray(t["vec_id"].to_pylist())
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ids, mat = _batch_vectors(t)
         assign = np.argmax(mat @ cents.T, axis=1)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(qids_)):
-            mask = np.isin(assign, probe_[qi])
-            if not mask.any():
-                continue
-            sub_ids, sub = ids[mask], mat[mask]
-            scores = sub @ qmat_[qi]
-            idx = np.lexsort((sub_ids, -scores))[:k]
-            out_q.extend([int(qids_[qi])] * len(idx))
-            out_v.extend(sub_ids[idx].tolist())
-            out_s.extend(scores[idx].tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_v, pa.int64()),
-                         "score": pa.array(out_s, pa.float64())})
+        return _masked_topk_table(
+            qids_, qmat_, ids, mat, k,
+            lambda qi: np.isin(assign, probe_[qi]))
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1)
-        return g[["query_id", "vec_id", "rank"]]
-
-    return partials.groupby("query_id").map_groups(final_topk,
-                                                   batch_format="pandas")
+    return _final_topk_groups(partials, k)
 
 
 def _lsh_planes(sf_dir: str, n_tables: int, n_bits: int,
@@ -252,37 +265,15 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 4,
 
     def partial_topk(t: pa.Table) -> pa.Table:
         qids_, qmat_, planes_, qcodes_ = ray.get(ctx_ref)
-        ids = np.asarray(t["vec_id"].to_pylist())
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
-                          1e-12)
+        ids, mat = _batch_vectors(t)
         codes = _lsh_codes(mat, planes_)       # (rows, n_tables)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(qids_)):
-            mask = (codes == qcodes_[qi][None, :]).any(axis=1)
-            if not mask.any():
-                continue
-            sub_ids, sub = ids[mask], mat[mask]
-            scores = sub @ qmat_[qi]
-            idx = np.lexsort((sub_ids, -scores))[:k]
-            out_q.extend([int(qids_[qi])] * len(idx))
-            out_v.extend(sub_ids[idx].tolist())
-            out_s.extend(scores[idx].tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_v, pa.int64()),
-                         "score": pa.array(out_s, pa.float64())})
+        return _masked_topk_table(
+            qids_, qmat_, ids, mat, k,
+            lambda qi: (codes == qcodes_[qi][None, :]).any(axis=1))
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     partials = ds.map_batches(partial_topk, batch_format="pyarrow",
                               batch_size=4096)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1)
-        return g[["query_id", "vec_id", "rank"]]
-
-    return partials.groupby("query_id").map_groups(final_topk,
-                                                   batch_format="pandas")
+    return _final_topk_groups(partials, k)

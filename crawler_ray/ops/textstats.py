@@ -303,13 +303,15 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
             # pc.index_in rebuilds its hash set from the full value_set
             # per call; build the hash->keep_id index once per worker
             # process instead (same pattern as the finalize build)
-            key_idx = _VERDICT_IDX_CACHE.get(win_ref)
+            key_idx = _VERDICT_IDX_CACHE.get(win_ref.hex())
             if key_idx is None:
                 _VERDICT_IDX_CACHE.clear()
                 key_idx = dict(zip(
                     w["text_hash"].to_pylist(),
                     w["keep_id"].to_numpy(zero_copy_only=False)))
-                _VERDICT_IDX_CACHE[win_ref] = key_idx
+                # hex key: a held ObjectRef would pin the broadcast
+                # table in the object store after the job ends
+                _VERDICT_IDX_CACHE[win_ref.hex()] = key_idx
             keep_ids = np.fromiter(
                 (key_idx[h] for h in t["text_hash"].to_pylist()),
                 dtype=np.int64, count=t.num_rows)

@@ -730,12 +730,15 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
             # seconds across a run's batches), so build the key index
             # once per worker process instead; per-batch cost is then a
             # few thousand dict hits (<1 ms)
-            key_idx = _BUILD_IDX_CACHE.get(win_ref)
+            key_idx = _BUILD_IDX_CACHE.get(win_ref.hex())
             if key_idx is None:
                 _BUILD_IDX_CACHE.clear()  # one finalize at a time
                 key_idx = {k: i for i, k in
                            enumerate(w["winner_key"].to_pylist())}
-                _BUILD_IDX_CACHE[win_ref] = key_idx
+                # key by the ref's hex, not the ObjectRef itself — a
+                # held ObjectRef would pin the broadcast table in the
+                # object store long after the finalize ends
+                _BUILD_IDX_CACHE[win_ref.hex()] = key_idx
             pos = [key_idx.get(k) for k in keys.to_pylist()]
             picked = w.take(pa.array(
                 [p for p in pos if p is not None],
@@ -765,20 +768,27 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
          .write_parquet(winner_store_root, row_group_size=4096))
         win_full_schema = win_schema.base_schema.append(
             pa.field("winner_key", pa.string()))
-        # per-file key ranges from the sorted files' first/last rows
-        # (footer string stats can be truncated, so read the rows; the
-        # file count is O(sort output blocks), not O(winners))
-        ranges = []
-        for p in sorted(_g.glob(
-                os.path.join(winner_store_root, "*.parquet"))):
-            pf = pq.ParquetFile(p)
-            if pf.metadata.num_rows == 0:
-                continue
-            first = pf.read_row_group(0, columns=["winner_key"])
-            last = pf.read_row_group(pf.num_row_groups - 1,
-                                     columns=["winner_key"])
-            ranges.append((p, first["winner_key"][0].as_py(),
-                           last["winner_key"][-1].as_py()))
+        # per-file key ranges: exact min/max over each file's key
+        # column, computed in parallel Ray tasks — no reliance on
+        # within-file sort order (an undocumented writer invariant) or
+        # on parquet string footer stats (which may be truncated).
+        # File count is O(sort output blocks), not O(winners).
+
+        @ray.remote
+        def _key_range(p: str):
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            t = pq.read_table(p, columns=["winner_key"])
+            if t.num_rows == 0:
+                return None
+            mm = pc.min_max(t["winner_key"]).as_py()
+            return (p, mm["min"], mm["max"])
+
+        files_w = sorted(_g.glob(
+            os.path.join(winner_store_root, "*.parquet")))
+        ranges = [r for r in ray.get([_key_range.remote(p)
+                                      for p in files_w])
+                  if r is not None]
         ranges_ref = ray.put(ranges)
 
         def lookup(keys: pa.Array) -> tuple[pa.Array, pa.Table]:
