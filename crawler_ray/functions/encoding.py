@@ -27,10 +27,18 @@ _META_RE = re.compile(
     rb"""|content\s*=\s*["'][^"']*charset=([a-zA-Z0-9_\-]+))""",
     re.IGNORECASE)
 
+# BOM -> the codec chardet would report: the endianness-agnostic
+# codecs ('utf-16'/'utf-32'/'utf-8-sig') CONSUME the BOM on decode,
+# matching requests' chardet path ('UTF-16' etc.) — the suffixed
+# codecs would leave a stray U+FEFF as the first character.  The
+# 4-byte UTF-32 BOMs are checked before UTF-16 because \xff\xfe is a
+# prefix of the UTF-32-LE BOM.
 _BOMS = (
+    (b"\xff\xfe\x00\x00", "utf-32"),
+    (b"\x00\x00\xfe\xff", "utf-32"),
     (b"\xef\xbb\xbf", "utf-8-sig"),
-    (b"\xff\xfe", "utf-16-le"),
-    (b"\xfe\xff", "utf-16-be"),
+    (b"\xff\xfe", "utf-16"),
+    (b"\xfe\xff", "utf-16"),
 )
 
 

@@ -269,8 +269,11 @@ class Element:
     def _parse_selector(sel: str) -> tuple[Optional[str], Optional[str]]:
         sel = sel.strip()
         if "." in sel:
-            tag, _, cls = sel.partition(".")
-            return (tag or None), (cls or None)
+            # multi-class selectors use the FIRST class, matching the
+            # reference's _css_to_xpath parts[1] (extra segments are
+            # ignored there too)
+            parts = sel.split(".")
+            return (parts[0] or None), (parts[1] or None)
         return (sel or None), None
 
     def select(self, sel: str, limit: int | None = None
@@ -540,11 +543,11 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
             i = j
         c = rawdata[i + 1:i + 2]
         if cdata_elem is not None:
-            # only "</elem" reaches here (the cdata_close pattern)
+            # only "</elem...>" reaches here (the cdata_close pattern
+            # includes the '>', mirroring stdlib's interesting_cdata)
             gt = find(">", i + 1)
             if gt < 0:
-                i = recover(i)
-                continue
+                return  # unreachable with the '>' pattern; stdlib breaks
             gtpos = gt + 1
             m = endtagfind.match(rawdata, i)
             if m is None or m.group(1).lower() != cdata_elem:
@@ -611,7 +614,11 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
                     stack.append(el)
                 if tag == "script" or tag == "style":
                     cdata_elem = tag
-                    cdata_close = re.compile(r"</\s*%s" % tag,
+                    # the installed 3.11.7 parser's set_cdata_mode
+                    # pattern: the close must include the '>' — a bare
+                    # "</script" at EOF never matches, so the whole
+                    # CDATA run is dropped (goahead's `break`)
+                    cdata_close = re.compile(r"</\s*%s\s*>" % tag,
                                              re.IGNORECASE)
             i = endpos
         elif c == "/":  # end tag

@@ -44,8 +44,18 @@ def test_meta_charset_beats_utf8_probe():
 
 def test_bom_and_fallbacks():
     assert apparent_encoding(b"\xef\xbb\xbfhi") == "utf-8-sig"
+    # BOM-detected codecs CONSUME the BOM (requests' chardet returns
+    # 'UTF-16' whose codec eats it — no stray U+FEFF in the text)
+    for enc in ("utf-16-le", "utf-16-be"):
+        raw = "hi".encode(enc)
+        bom = b"\xff\xfe" if enc == "utf-16-le" else b"\xfe\xff"
+        assert apparent_encoding(bom + raw) == "utf-16"
+        assert fix_encoding(bom + raw, None) == ("hi", "utf-16")
+    # 4-byte UTF-32 BOMs win over their 2-byte UTF-16 prefixes
+    assert apparent_encoding("hi".encode("utf-32")) == "utf-32"
+    assert fix_encoding("hi".encode("utf-32"), None) == ("hi", "utf-32")
     assert apparent_encoding(
-        b"\xff\xfe" + "hi".encode("utf-16-le")) == "utf-16-le"
+        b"\x00\x00\xfe\xff" + "hi".encode("utf-32-be")) == "utf-32"
     # invalid-utf8, no meta, no bom -> latin-1 fallback
     assert apparent_encoding(b"\xff\xfa\x80abc") == "iso-8859-1"
     # bogus declared label falls back to sniffing instead of raising

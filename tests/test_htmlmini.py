@@ -174,6 +174,16 @@ def test_index_matches_walk_under_mutation():
                         victim, **kw)
 
 
+def test_select_multi_class_uses_first_class():
+    # 'div.a.b' selects by the FIRST class only, matching the
+    # reference's _css_to_xpath parts[1]
+    root = parse_html("<div class='a b'>1</div><div class='a.b'>2</div>"
+                      "<div class='b'>3</div><p class='a'>4</p>")
+    assert [e.get_text() for e in root.select("div.a")] == ["1"]
+    assert [e.get_text() for e in root.select("div.a.b")] == ["1"]
+    assert [e.get_text() for e in root.select(".a.b")] == ["1", "4"]
+
+
 def test_index_select_matches_walk():
     rng = random.Random(99)
     for _ in range(10):
@@ -220,6 +230,8 @@ ADVERSARIAL = [
     "<?pi ?>x", "<?unterminated", "<!weird>w", "<!unterminated",
     "<script>if (a < b && c > d) '&amp;'</script>after",
     "<script>'</scr' + 'ipt>'</script>ok", "<script>unterminated",
+    "<script>x</script", "<script>a</script x>", "<style>b</style",
+    "<script>c</scriptx></script>d", "<script></ script>e",
     "<style>.a > .b {}</style>t", "<SCRIPT>X</SCRIPT>t",
     "<script></scripts></script>done", "<script></ script >done",
     "a < b text", "tail <", "<", "<>", "</>", "</ >", "</123>x",
