@@ -869,27 +869,63 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4,
+                        tile_rows: int = 2048,
+                        max_group_rows: int = 4_000_000):
     """Exact cosine near-dup pairs, blocked by the label column (the
     blocking key plays the IVF-bucket role the north rule's skew handling
-    needs at scale).  Returns (vec_id_a, vec_id_b, cos_milli)."""
+    needs at scale).  Returns (vec_id_a, vec_id_b, cos_milli).
+
+    The per-label cosine is computed in fixed-size ``tile_rows`` ×
+    ``tile_rows`` block matmuls over the upper triangle, so peak score
+    memory is O(tile_rows^2) regardless of label-bucket size — a hot
+    label no longer builds a dense n^2 matrix.  Pair emission is fully
+    vectorized (nonzero + minimum/maximum), no per-pair Python loop.
+    Compute stays inherently O(n^2) per label (exact all-pairs);
+    ``max_group_rows`` fails LOUDLY on a label bucket so skewed that
+    even tiled exact scoring is the wrong tool — at that size the
+    caller should pre-bucket the hot label (LSH/IVF, as ``knn_lsh`` /
+    ``knn_ivf`` do) instead of silently burning a worker for hours."""
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding", "label"])
 
     def per_label(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
+        n = len(g)
+        if n > max_group_rows:
+            label = g["label"].iloc[0]
+            raise ValueError(
+                f"label bucket {label!r} has {n} rows "
+                f"(> max_group_rows={max_group_rows}): exact all-pairs "
+                f"cosine is O(n^2); pre-bucket this hot label (LSH/IVF) "
+                f"or raise max_group_rows explicitly")
+        ids = g["vec_id"].to_numpy().astype(np.int64)
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.maximum(norms, 1e-12)
-        cos = mat @ mat.T
-        ii, jj = np.where(np.triu(cos >= threshold, k=1))
-        out = []
-        for i, j in zip(ii, jj):
-            a, b = int(ids[i]), int(ids[j])
-            a, b = min(a, b), max(a, b)
-            out.append((a, b, int(np.floor(cos[i, j] * 1000))))
-        df = pd.DataFrame(out,
-                          columns=["vec_id_a", "vec_id_b", "cos_milli"])
+        out_a, out_b, out_m = [], [], []
+        for i0 in range(0, n, tile_rows):
+            rows = mat[i0:i0 + tile_rows]
+            # j tiles start at i0: everything left of the diagonal
+            # block is the lower triangle, never scored
+            for j0 in range(i0, n, tile_rows):
+                cos = rows @ mat[j0:j0 + tile_rows].T
+                ii, jj = np.nonzero(cos >= threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj          # strict upper triangle
+                if not keep.any():
+                    continue
+                gi, gj = gi[keep], gj[keep]
+                out_a.append(np.minimum(ids[gi], ids[gj]))
+                out_b.append(np.maximum(ids[gi], ids[gj]))
+                out_m.append(np.floor(
+                    cos[ii[keep], jj[keep]] * 1000).astype(np.int64))
+        if out_a:
+            df = pd.DataFrame({"vec_id_a": np.concatenate(out_a),
+                               "vec_id_b": np.concatenate(out_b),
+                               "cos_milli": np.concatenate(out_m)})
+        else:
+            df = pd.DataFrame({"vec_id_a": [], "vec_id_b": [],
+                               "cos_milli": []})
         # pin dtypes so empty groups don't degrade the dataset schema
         return df.astype({"vec_id_a": "int64", "vec_id_b": "int64",
                           "cos_milli": "int64"})

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 pytestmark = pytest.mark.usefixtures("ray_session")
@@ -156,6 +157,56 @@ class TestMultimodal:
         # deterministic across instances (setup state is per-actor but
         # content depends only on payload + target dims)
         assert FakeResize(64, 32)(t).equals(out)
+
+
+class TestEmbeddingPairsTiling:
+    """One giant label group (the skew case): the tiled block-matmul
+    must equal a dense brute-force bit-for-bit, and the group-size
+    guard must fail loudly instead of burning a worker."""
+
+    @staticmethod
+    def _skewed_dir(tmp_path, n=531, dim=8, seed=3):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        rng = np.random.RandomState(seed)
+        mat = rng.randn(n, dim)
+        # plant duplicate clusters so there are real pairs
+        mat[50:60] = mat[49] + rng.randn(10, dim) * 0.01
+        mat[300:330] = mat[299] + rng.randn(30, dim) * 0.01
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(mat.astype(np.float64))),
+            "label": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path), mat
+
+    def test_tiled_equals_dense_on_giant_label(self, ray_session,
+                                               tmp_path):
+        from crawler_ray.ops import dedup
+        sf, mat = self._skewed_dir(tmp_path)
+        thr = 0.9
+        # tile_rows far below n forces many off-diagonal tiles
+        got = (dedup.embedding_dup_pairs(sf, threshold=thr, tile_rows=64)
+               .to_pandas().sort_values(["vec_id_a", "vec_id_b"])
+               .reset_index(drop=True))
+        m = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                             1e-12)
+        cos = m @ m.T
+        ii, jj = np.where(np.triu(cos >= thr, k=1))
+        import pandas as pd
+        want = pd.DataFrame({
+            "vec_id_a": ii.astype("int64"), "vec_id_b": jj.astype("int64"),
+            "cos_milli": np.floor(cos[ii, jj] * 1000).astype("int64"),
+        }).sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+        assert len(want) > 100  # the planted clusters are real
+        assert got.equals(want)
+
+    def test_group_size_guard_raises(self, ray_session, tmp_path):
+        from crawler_ray.ops import dedup
+        sf, _ = self._skewed_dir(tmp_path)
+        with pytest.raises(Exception, match="max_group_rows"):
+            dedup.embedding_dup_pairs(sf, max_group_rows=100).to_pandas()
 
 
 class TestEmbeddingDedupKeep:
