@@ -15,9 +15,30 @@
   with the query); no training pass at all (the hyperplanes are fixed
   seeded draws), so it suits streaming corpora where a k-means sample
   is stale on arrival.
+
+**I/O pruning (the real index):** by default both approximate paths
+persist a bucket-partitioned copy of the embeddings once
+(``ivf_build_index`` / ``lsh_build_index``: one assignment pass, spill
+files named ``bucket=<b>/part-<content-digest>.parquet`` so a retried
+task is idempotent, manifest written last so presence == complete) and
+every query job then READS ONLY THE PROBED BUCKETS' FILES — query I/O
+is O(corpus * nprobe / n_buckets), not O(corpus)-scanned-then-masked.
+The index is memoized per (source fingerprint, params) and reused
+across calls; ``persist_index=False`` keeps the index-free streaming
+scan (one pass, mask per batch) for corpora read exactly once.
+Results are bit-identical between the two modes — the pruned read
+drops only rows whose mask was false for every query.  Single builder
+per index root assumed (same assumption as the TableStore); at
+multi-node scale ``index_root``/``CRAWLER_RAY_ANN_ROOT`` must point at
+shared storage.
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -25,7 +46,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 __all__ = ["knn_bruteforce", "knn_ivf", "ivf_build_centroids",
-           "knn_lsh"]
+           "ivf_build_index", "knn_lsh", "lsh_build_index"]
+
+_ANN_ROOT_ENV = "CRAWLER_RAY_ANN_ROOT"
+
+
+def _ann_root() -> str:
+    return os.environ.get(_ANN_ROOT_ENV, "/tmp/crawler_ray_ann")
 
 
 def _rd():
@@ -74,16 +101,22 @@ def _batch_vectors(t: pa.Table):
     return ids, mat
 
 
-def _masked_topk_table(qids_, qmat_, ids, mat, k, mask_of) -> pa.Table:
+def _masked_topk_table(qids_, qmat_, ids, mat, k, mask_of,
+                       dedup_ids: bool = False) -> pa.Table:
     """Per-query candidate-mask partial top-k (shared by the IVF and
     LSH paths; the brute-force path scores all queries in one matmul
-    instead)."""
+    instead).  ``dedup_ids`` collapses repeated vec_ids before scoring
+    — the LSH index stores a vector once per hash table, so a batch
+    over probed buckets can carry the same vector several times."""
     out_q, out_v, out_s = [], [], []
     for qi in range(len(qids_)):
         mask = mask_of(qi)
         if not mask.any():
             continue
         sub_ids, sub = ids[mask], mat[mask]
+        if dedup_ids:
+            sub_ids, first = np.unique(sub_ids, return_index=True)
+            sub = sub[first]
         scores = sub @ qmat_[qi]
         idx = np.lexsort((sub_ids, -scores))[:k]
         out_q.extend([int(qids_[qi])] * len(idx))
@@ -100,7 +133,11 @@ def _final_topk_groups(partials, k: int):
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
+                          kind="mergesort")
+        # a candidate can arrive from several partial batches when the
+        # bucketed LSH layout replicates it across hash tables; its
+        # score is identical in each, so keep-first is exact
+        g = g.drop_duplicates(subset=["vec_id"], keep="first").head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1)
         return g[["query_id", "vec_id", "rank"]]
@@ -191,16 +228,197 @@ def ivf_build_centroids(sf_dir: str, n_centroids: int = 16,
     return centroids
 
 
-def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 4,
-            n_centroids: int = 16, nprobe: int = 4):
-    """IVF-bucketed approximate top-k: assign vectors to centroid buckets
-    (one vectorized pass), scan only the ``nprobe`` closest buckets per
-    query.  Output shape identical to ``knn_bruteforce``."""
+# ---------------------------------------------------------------------------
+# persisted bucket-partitioned index layouts (the I/O-pruning machinery)
+# ---------------------------------------------------------------------------
+
+def _source_fingerprint(path: str) -> list:
+    st = os.stat(path)
+    return [os.path.abspath(path), st.st_mtime_ns, st.st_size]
+
+
+def _index_root_for(path: str, params: dict,
+                    index_root: str | None) -> str:
+    if index_root is not None:
+        return index_root
+    key = json.dumps([_source_fingerprint(path), params], sort_keys=True)
+    digest = hashlib.md5(key.encode()).hexdigest()[:16]
+    return os.path.join(_ann_root(), f"{params['kind']}-{digest}")
+
+
+def _load_manifest(root: str, path: str, params: dict) -> dict | None:
+    """The manifest is written LAST (atomic rename), so its presence
+    means the data pass completed; a fingerprint/params mismatch (the
+    source file changed underneath, or a hash collision on the root
+    name) invalidates the index."""
+    manifest = os.path.join(root, "_INDEX.json")
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as f:
+        meta = json.load(f)
+    if (meta.get("fingerprint") != _source_fingerprint(path)
+            or meta.get("params") != params):
+        return None
+    return meta
+
+
+def _write_manifest(root: str, path: str, params: dict,
+                    extra: dict) -> None:
+    meta = {"fingerprint": _source_fingerprint(path), "params": params,
+            **extra}
+    tmp = os.path.join(root, "_INDEX.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "_INDEX.json"))
+
+
+def _spill_bucketed(t: pa.Table, root: str, bucket_col: str,
+                    buckets: np.ndarray, suffix: str = "") -> int:
+    """Write one batch's rows split by bucket, one file per
+    (batch, bucket): ``bucket=<b>/part-<content-digest><suffix>.parquet``.
+    The digest is over the batch's vec_ids, so a retried task rewrites
+    the SAME files (tmp + rename, idempotent) — the wave pipeline's
+    deterministic-name spill pattern."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    digest = hashlib.md5(ids.tobytes()).hexdigest()[:16]
+    written = 0
+    for b in np.unique(buckets):
+        sub = t.filter(pa.array(buckets == b))
+        d = os.path.join(root, f"{bucket_col}={int(b):06d}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part-{digest}{suffix}.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(sub, tmp, row_group_size=4096)
+        os.replace(tmp, path)
+        written += sub.num_rows
+    return written
+
+
+def _bucket_files(root: str, bucket_col: str,
+                  bucket_ids: list[int]) -> list[str]:
+    """All part files under the named bucket dirs (missing dirs are
+    legal: an empty bucket never spilled a file)."""
+    out = []
+    for b in sorted(set(int(x) for x in bucket_ids)):
+        d = os.path.join(root, f"{bucket_col}={b:06d}")
+        if os.path.isdir(d):
+            out.extend(sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")))
+    return out
+
+
+def _read_index_files(paths: list[str], columns: list[str]):
+    """Single indirection for the pruned bucket reads — tests
+    monkeypatch this to assert query jobs touch ONLY probed buckets."""
+    return _rd().read_parquet(paths, columns=columns)
+
+
+_PARTIAL_SCHEMA = pa.schema([("query_id", pa.int64()),
+                             ("vec_id", pa.int64()),
+                             ("score", pa.float64())])
+
+
+def ivf_build_index(sf_dir: str, n_centroids: int = 16, seed: int = 7,
+                    iters: int = 10, sample_per_centroid: int = 256,
+                    index_root: str | None = None) -> str:
+    """Persist the centroid-bucketed embeddings layout (build once,
+    probe many): k-means centroids from the bounded sample, then ONE
+    distributed assignment pass spilling each batch's rows into
+    per-bucket files.  Memoized by (source fingerprint, params) — a
+    matching manifest short-circuits the whole build.  Returns the
+    index root; centroids ride in the manifest so probing never
+    recomputes them."""
     import ray
 
-    centroids = ivf_build_centroids(sf_dir, n_centroids)
+    path = f"{sf_dir}/embeddings.parquet"
+    params = {"kind": "ivf", "n_centroids": n_centroids, "seed": seed,
+              "iters": iters, "spc": sample_per_centroid}
+    root = _index_root_for(path, params, index_root)
+    if _load_manifest(root, path, params) is not None:
+        return root
+    if os.path.exists(root):            # stale or partial build
+        shutil.rmtree(root)
+    os.makedirs(root, exist_ok=True)
+
+    centroids = ivf_build_centroids(sf_dir, n_centroids, iters=iters,
+                                    seed=seed,
+                                    sample_per_centroid=sample_per_centroid)
+    c_ref = ray.put(centroids)
+
+    def spill(t: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        _, mat = _batch_vectors(t)
+        assign = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+        t2 = t.append_column("bucket", pa.array(assign, pa.int32()))
+        n = _spill_bucketed(t2, root, "bucket", assign)
+        return pa.table({"rows": pa.array([n], pa.int64())})
+
+    counts = (_rd().read_parquet(path, columns=["vec_id", "embedding"])
+              .map_batches(spill, batch_format="pyarrow", batch_size=4096)
+              .materialize())           # side effects run exactly once
+    _write_manifest(root, path, params, {
+        "centroids": centroids.astype(np.float64).tobytes().hex(),
+        "centroid_shape": list(centroids.shape),
+        "rows": int(counts.sum("rows") or 0)})
+    return root
+
+
+def _ivf_centroids_from_manifest(root: str) -> np.ndarray:
+    with open(os.path.join(root, "_INDEX.json")) as f:
+        meta = json.load(f)
+    return np.frombuffer(
+        bytes.fromhex(meta["centroids"]),
+        dtype=np.float64).reshape(meta["centroid_shape"]).copy()
+
+
+def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 4,
+            n_centroids: int = 16, nprobe: int = 4,
+            persist_index: bool = True,
+            index_root: str | None = None):
+    """IVF-bucketed approximate top-k: assign vectors to centroid
+    buckets, scan only the ``nprobe`` closest buckets per query.
+    Output shape identical to ``knn_bruteforce``.
+
+    Default (``persist_index=True``) probes the persisted layout from
+    ``ivf_build_index`` — the query job reads ONLY the union of the
+    queries' probed buckets' files, so I/O scales with nprobe/C of the
+    corpus.  ``persist_index=False`` is the index-free streaming scan
+    (full read, per-batch assignment + mask — compute-pruned, I/O not)
+    for a corpus that will be read exactly once anyway.  Both modes
+    return bit-identical results (tests pin this)."""
+    import ray
+
+    if persist_index:
+        root = ivf_build_index(sf_dir, n_centroids, index_root=index_root)
+        centroids = _ivf_centroids_from_manifest(root)
+    else:
+        centroids = ivf_build_centroids(sf_dir, n_centroids)
     qids, qmat = _load_queries(sf_dir, n_queries)
     probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+
+    if persist_index:
+        paths = _bucket_files(root, "bucket",
+                              np.unique(probe).tolist())
+        if not paths:
+            return _final_topk_groups(
+                _rd().from_arrow(_PARTIAL_SCHEMA.empty_table()), k)
+        ctx_ref = ray.put((qids, qmat, probe))
+
+        def pruned_topk(t: pa.Table) -> pa.Table:
+            qids_, qmat_, probe_ = ray.get(ctx_ref)
+            ids, mat = _batch_vectors(t)
+            bkt = t["bucket"].to_numpy(zero_copy_only=False)
+            return _masked_topk_table(
+                qids_, qmat_, ids, mat, k,
+                lambda qi: np.isin(bkt, probe_[qi]))
+
+        partials = (_read_index_files(paths,
+                                      ["vec_id", "embedding", "bucket"])
+                    .map_batches(pruned_topk, batch_format="pyarrow",
+                                 batch_size=4096))
+        return _final_topk_groups(partials, k)
+
     ctx_ref = ray.put((qids, qmat, centroids, probe))
 
     def partial_topk(t: pa.Table) -> pa.Table:
@@ -241,8 +459,64 @@ def _lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits.astype(np.int64) @ weights
 
 
+def lsh_build_index(sf_dir: str, n_tables: int = 8, n_bits: int = 4,
+                    seed: int = 7, index_root: str | None = None) -> str:
+    """Persist the (table, bucket)-partitioned LSH layout: each vector
+    is written once PER HASH TABLE under its table-local bucket key
+    ``tkey = table * 2^n_bits + code`` — the classic multi-table LSH
+    index trade: ``n_tables``× storage buys O(candidates) query I/O.
+    Same memoized-manifest / deterministic-spill machinery as the IVF
+    index; the hyperplanes ride in the manifest."""
+    import ray
+
+    path = f"{sf_dir}/embeddings.parquet"
+    params = {"kind": "lsh", "n_tables": n_tables, "n_bits": n_bits,
+              "seed": seed}
+    root = _index_root_for(path, params, index_root)
+    if _load_manifest(root, path, params) is not None:
+        return root
+    if os.path.exists(root):            # stale or partial build
+        shutil.rmtree(root)
+    os.makedirs(root, exist_ok=True)
+
+    planes = _lsh_planes(sf_dir, n_tables, n_bits, seed)
+    p_ref = ray.put(planes)
+    period = 1 << n_bits
+
+    def spill(t: pa.Table) -> pa.Table:
+        planes_ = ray.get(p_ref)
+        _, mat = _batch_vectors(t)
+        codes = _lsh_codes(mat, planes_)        # (rows, n_tables)
+        n = 0
+        for tt in range(codes.shape[1]):
+            tkeys = (tt * period + codes[:, tt]).astype(np.int32)
+            t2 = t.append_column("tkey", pa.array(tkeys, pa.int32()))
+            n += _spill_bucketed(t2, root, "tkey", tkeys,
+                                 suffix=f"-t{tt}")
+        return pa.table({"rows": pa.array([n], pa.int64())})
+
+    counts = (_rd().read_parquet(path, columns=["vec_id", "embedding"])
+              .map_batches(spill, batch_format="pyarrow", batch_size=4096)
+              .materialize())           # side effects run exactly once
+    _write_manifest(root, path, params, {
+        "planes": planes.astype(np.float64).tobytes().hex(),
+        "plane_shape": list(planes.shape),
+        "rows": int(counts.sum("rows") or 0)})
+    return root
+
+
+def _lsh_planes_from_manifest(root: str) -> np.ndarray:
+    with open(os.path.join(root, "_INDEX.json")) as f:
+        meta = json.load(f)
+    return np.frombuffer(
+        bytes.fromhex(meta["planes"]),
+        dtype=np.float64).reshape(meta["plane_shape"]).copy()
+
+
 def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 4,
-            n_tables: int = 8, n_bits: int = 4, seed: int = 7):
+            n_tables: int = 8, n_bits: int = 4, seed: int = 7,
+            persist_index: bool = True,
+            index_root: str | None = None):
     """LSH-bucketed approximate top-k (the second scale path beside
     IVF): the classic multi-table construction — ``n_tables``
     independent sign-pattern hashes of ``n_bits`` each; a vector is a
@@ -255,12 +529,50 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 4,
     ``knn_bruteforce``; recall vs the exact baseline is measured in
     tests (``tests/test_similarity_multimodal.py``), not assumed.
     Rows-only in the driver gate: the hyperplanes are numpy RNG draws
-    with no SQL twin."""
+    with no SQL twin.
+
+    Default (``persist_index=True``) probes the persisted layout from
+    ``lsh_build_index``: the query job reads only the (table, bucket)
+    partitions the queries hash into; a vector replicated across
+    probed tables is deduped before scoring (within a batch) and at
+    the final top-k (across batches), so results are bit-identical to
+    the ``persist_index=False`` streaming scan (tests pin this)."""
     import ray
 
-    planes = _lsh_planes(sf_dir, n_tables, n_bits, seed)
+    if persist_index:
+        root = lsh_build_index(sf_dir, n_tables, n_bits, seed,
+                               index_root=index_root)
+        planes = _lsh_planes_from_manifest(root)
+    else:
+        planes = _lsh_planes(sf_dir, n_tables, n_bits, seed)
     qids, qmat = _load_queries(sf_dir, n_queries)
     qcodes = _lsh_codes(qmat, planes)          # (n_q, n_tables)
+
+    if persist_index:
+        period = 1 << n_bits
+        qkeys = (np.arange(n_tables, dtype=np.int64)[None, :] * period
+                 + qcodes).astype(np.int32)    # (n_q, n_tables)
+        paths = _bucket_files(root, "tkey", np.unique(qkeys).tolist())
+        if not paths:
+            return _final_topk_groups(
+                _rd().from_arrow(_PARTIAL_SCHEMA.empty_table()), k)
+        ctx_ref = ray.put((qids, qmat, qkeys))
+
+        def pruned_topk(t: pa.Table) -> pa.Table:
+            qids_, qmat_, qkeys_ = ray.get(ctx_ref)
+            ids, mat = _batch_vectors(t)
+            tk = t["tkey"].to_numpy(zero_copy_only=False)
+            return _masked_topk_table(
+                qids_, qmat_, ids, mat, k,
+                lambda qi: np.isin(tk, qkeys_[qi]),
+                dedup_ids=True)
+
+        partials = (_read_index_files(paths,
+                                      ["vec_id", "embedding", "tkey"])
+                    .map_batches(pruned_topk, batch_format="pyarrow",
+                                 batch_size=4096))
+        return _final_topk_groups(partials, k)
+
     ctx_ref = ray.put((qids, qmat, planes, qcodes))
 
     def partial_topk(t: pa.Table) -> pa.Table:

@@ -75,6 +75,84 @@ class TestANN:
         assert means[1] >= means[0]
 
 
+class TestANNIndexPruning:
+    """The persisted bucket layouts must (a) return bit-identical
+    results to the index-free streaming scan, (b) actually prune —
+    query jobs read ONLY probed buckets' files, (c) memoize — a second
+    call reuses the manifest instead of rebuilding."""
+
+    KEY = ["query_id", "rank"]
+    COLS = ["query_id", "vec_id", "rank"]
+
+    @staticmethod
+    def _sorted(df):
+        return (df.sort_values(["query_id", "rank"])
+                .reset_index(drop=True)[["query_id", "vec_id", "rank"]])
+
+    def test_ivf_index_equals_scan(self, tmp_path):
+        from crawler_ray.ops import similarity
+        scan = similarity.knn_ivf(SF, persist_index=False).to_pandas()
+        idx = similarity.knn_ivf(
+            SF, index_root=str(tmp_path / "ivf")).to_pandas()
+        assert self._sorted(idx).equals(self._sorted(scan))
+
+    def test_lsh_index_equals_scan(self, tmp_path):
+        from crawler_ray.ops import similarity
+        scan = similarity.knn_lsh(SF, persist_index=False).to_pandas()
+        idx = similarity.knn_lsh(
+            SF, index_root=str(tmp_path / "lsh")).to_pandas()
+        assert self._sorted(idx).equals(self._sorted(scan))
+
+    def test_probe_reads_touch_only_probed_buckets(self, tmp_path,
+                                                   monkeypatch):
+        import os
+
+        from crawler_ray.ops import similarity
+        root = str(tmp_path / "ivf")
+        similarity.ivf_build_index(SF, index_root=root)
+        all_files = similarity._bucket_files(root, "bucket", range(16))
+        assert len(all_files) >= 16  # every bucket materialized
+
+        seen: list[str] = []
+        real = similarity._read_index_files
+
+        def spy(paths, columns):
+            seen.extend(paths)
+            return real(paths, columns)
+
+        monkeypatch.setattr(similarity, "_read_index_files", spy)
+        similarity.knn_ivf(SF, nprobe=4, index_root=root).to_pandas()
+        assert seen, "index path was not used"
+        probed_dirs = {os.path.dirname(p) for p in seen}
+        # sharper than subset-of-all: strictly fewer dirs than buckets
+        assert len(probed_dirs) < 16
+        assert set(seen) < set(all_files)
+        # same contract for LSH: paths all live under tkey= dirs
+        seen.clear()
+        lroot = str(tmp_path / "lsh")
+        similarity.knn_lsh(SF, index_root=lroot).to_pandas()
+        assert seen
+        assert all(os.path.basename(os.path.dirname(p)).startswith(
+            "tkey=") for p in seen)
+        lsh_all = {
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(lroot) for f in fs
+            if f.endswith(".parquet")}
+        assert set(seen) < lsh_all  # probes a strict subset of buckets
+
+    def test_index_build_is_memoized(self, tmp_path):
+        import os
+
+        from crawler_ray.ops import similarity
+        root = str(tmp_path / "ivf")
+        r1 = similarity.ivf_build_index(SF, index_root=root)
+        manifest = os.path.join(r1, "_INDEX.json")
+        stamp = os.stat(manifest).st_mtime_ns
+        r2 = similarity.ivf_build_index(SF, index_root=root)
+        assert r2 == r1
+        assert os.stat(manifest).st_mtime_ns == stamp  # no rebuild
+
+
 class TestMultimodal:
     def test_payload_meta_counts_bytes(self):
         import pyarrow.parquet as pq
