@@ -49,6 +49,45 @@ def planted_corpus(tmp_path_factory):
     return out, set(near_pairs), set(exact_pairs)
 
 
+def test_pairs_memoized_within_session(planted_corpus):
+    """The keep family reuses the pair graph its *_pairs sibling just
+    materialized: same (args, source fingerprint, job) -> the SAME
+    Dataset object; different params miss."""
+    sf_dir, _, _ = planted_corpus
+    a = dedup.simhash_pairs(sf_dir)
+    assert a is dedup.simhash_pairs(sf_dir)
+    assert a is dedup.simhash_pairs(sf_dir, max_hamming=3)  # defaults
+    assert dedup.simhash_pairs(sf_dir, max_hamming=2) is not a
+    # the keep's resolved join_partitions and a caller's None share an
+    # entry (normalized through _join_partitions)
+    b = dedup.ngram_jaccard_pairs(sf_dir)
+    jp = dedup._join_partitions(None)
+    assert dedup.ngram_jaccard_pairs(sf_dir, join_partitions=jp) is b
+    # a rewritten source file invalidates
+    path = os.path.join(sf_dir, "documents.parquet")
+    t = pq.read_table(path)
+    pq.write_table(t, path)  # new mtime/identity
+    assert dedup.simhash_pairs(sf_dir) is not a
+
+
+def test_components_keep_paths_identical(planted_corpus):
+    """The driver-side fast path and the distributed propagation must
+    produce the identical (node, keep) table."""
+    sf_dir, _, _ = planted_corpus
+    pairs = (dedup.simhash_pairs(sf_dir)
+             .select_columns(["doc_a", "doc_b"]).materialize())
+
+    def as_df(res):
+        df = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return df.astype({"doc_id": "int64", "keep": "bool"})
+
+    fast = as_df(dedup._components_keep(pairs, None, 64))
+    dist = as_df(dedup._components_keep(pairs, None, 64,
+                                        broadcast_threshold=0))
+    assert len(fast) > 0
+    assert fast.equals(dist)
+
+
 def test_minhash_finds_planted_near_dups(planted_corpus):
     sf_dir, near, exact = planted_corpus
     pairs = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5).to_pandas()
