@@ -499,43 +499,88 @@ class _CandidateFn:
         self.max_depth = max_depth
         self.robots = robots
 
+    # normalized URLs are scheme://netloc+path by construction, so ONE
+    # RE2 pass recovers exactly urlparse's netloc and path ((?s): a
+    # stray newline in a link must not kill the match)
+    _HOST_PATH_RE = r"(?s)^(?:https?)://(?P<host>[^/]*)(?P<path>.*)$"
+
     def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if t.num_rows == 0:
             return CANDIDATE_SCHEMA.empty_table()
-        links = t["link"].to_pylist()
-        norm = normalize_url_batch(links)
-        hosts = [u.split("/", 3)[2] if "//" in u else "" for u in norm]
-        parent_hosts = t["parent_host"].to_pylist()
-        bypass = t["bypass_host"].to_pylist()
-        depths = np.asarray(t["cand_depth"].to_pylist())
-        keep = np.array(
-            [(b or h == p) for b, h, p in zip(bypass, hosts, parent_hosts)],
-            dtype=bool)
-        keep &= depths <= self.max_depth
+        links = t["link"].combine_chunks()
+        # normalize_url is the IDENTITY for the absolute-http majority
+        # with no params/query/fragment (urlparse rebuilds the same
+        # string) — two arrow kernels find them, and only the leftover
+        # rows pay the per-row urlparse
+        fast = pc.and_(
+            pc.or_(pc.starts_with(links, "http://"),
+                   pc.starts_with(links, "https://")),
+            pc.invert(pc.match_substring_regex(links, r"[;?#]")))
+        fast_np = np.asarray(pc.fill_null(fast, False))
+        if fast_np.all():
+            norm_arr = links.cast(pa.string())
+        else:
+            vals = links.to_pylist()
+            slow_idx = np.nonzero(~fast_np)[0]
+            slow_norm = normalize_url_batch(
+                [vals[i] or "" for i in slow_idx])
+            for j, i in enumerate(slow_idx):
+                vals[i] = slow_norm[j]
+            norm_arr = pa.array([v or "" for v in vals], pa.string())
+
+        parts = pc.extract_regex(norm_arr, self._HOST_PATH_RE)
+        hosts_arr = pc.fill_null(pc.struct_field(parts, "host"), "")
+        bypass = np.asarray(pc.fill_null(t["bypass_host"], False))
+        same_host = np.asarray(pc.fill_null(
+            pc.equal(hosts_arr, t["parent_host"].combine_chunks()),
+            False))
+        depths = t["cand_depth"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        keep = (bypass | same_host) & (depths <= self.max_depth)
         if self.robots is not None:
-            can = self.robots.can_fetch
-            keep &= np.array(
-                [(b or can(h, urlparse(u).path))
-                 for b, h, u in zip(bypass, hosts, norm)], dtype=bool)
+            # group robots checks per host: hosts with no rules (the
+            # common case) clear their whole group at once; only
+            # rule-bearing hosts walk their rows
+            need = np.nonzero(keep & ~bypass)[0]
+            if len(need):
+                hosts_py = hosts_arr.to_pylist()
+                paths_py = pc.fill_null(
+                    pc.struct_field(parts, "path"), "").to_pylist()
+                by_host: dict[str, list[int]] = {}
+                for i in need:
+                    by_host.setdefault(hosts_py[i], []).append(i)
+                for host, rows in by_host.items():
+                    rules = self.robots.rules.get(host)
+                    if rules is None:
+                        continue    # unknown host: allowed
+                    can = rules.can_fetch
+                    for i in rows:
+                        if not can(paths_py[i]):
+                            keep[i] = False
 
         idx = np.nonzero(keep)[0]
-        norm_k = [norm[i] for i in idx]
-        hosts_k = [hosts[i] for i in idx]
-        fixed = t["fixed_job_type"].to_pylist()
-        job_types = [fixed[i] or self.patterns.job_type(norm_k[j])
-                     for j, i in enumerate(idx)]
+        take = pa.array(idx)
+        norm_k_arr = pc.take(norm_arr, take)
+        norm_k = norm_k_arr.to_pylist()
+        hosts_k = pc.take(hosts_arr, take).to_pylist()
+        fixed = pc.take(t["fixed_job_type"].combine_chunks(),
+                        take).to_pylist()
+        job_types = [f or self.patterns.job_type(u)
+                     for f, u in zip(fixed, norm_k)]
         depths_k = depths[idx]
         priorities = self.policies.calculate_priority_batch(
             norm_k, depths_k, job_types)
         return pa.table({
-            "url_norm": pa.array(norm_k, pa.string()),
+            "url_norm": norm_k_arr,
             "host": pa.array(hosts_k, pa.string()),
             "host_hash": pa.array(host_hash64_batch(hosts_k), pa.uint64()),
             "url_digest": pa.array(url_sha1_batch(norm_k), pa.binary()),
             "depth": pa.array(depths_k.astype(np.int32), pa.int32()),
             "job_type": pa.array(job_types, pa.string()),
             "priority": pa.array(priorities, pa.int32()),
-            "parent_url": t["parent_url"].take(pa.array(idx)),
-            "link_index": t["link_index"].take(pa.array(idx)),
-            "parent_priority": t["parent_priority"].take(pa.array(idx)),
+            "parent_url": t["parent_url"].take(take),
+            "link_index": t["link_index"].take(take),
+            "parent_priority": t["parent_priority"].take(take),
         })
