@@ -169,38 +169,59 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
         extracted_dir = os.path.join(wave_dir, "extracted")
         next_dir = os.path.join(out_dir, f"wave-{wave + 1:04d}", "frontier")
 
-        ds = rd.read_parquet(frontier_path)
-        ds = ds.map_batches(
-            _FetchFn(store.root, store.num_buckets, metrics),
-            batch_format="pyarrow", batch_size=cfg.fetch_batch_size)
-        ds = ds.map_batches(_ExtractFn(cfg.classify, cfg.ner_enabled, wave),
-                            batch_format="pyarrow",
-                            batch_size=cfg.extract_batch_size)
-        # extracted rows spill to parquet as a side effect (atomic,
-        # deterministic part names -> task retries overwrite instead of
-        # duplicating); only the link columns continue downstream
         links_dir = (os.path.join(wave_dir, "links")
                      if cfg.spill_links else None)
-        ds = ds.map_batches(_SpillExtracted(extracted_dir, links_dir),
-                            batch_format="pyarrow")
-        cand = ds.map_batches(_explode_links, batch_format="pyarrow")
-        cand = cand.map_batches(
+        stages = (
+            _FetchFn(store.root, store.num_buckets, metrics),
+            _ExtractFn(cfg.classify, cfg.ner_enabled, wave),
+            _SpillExtracted(extracted_dir, links_dir),
+            _explode_links,
             _CandidateFn(patterns, policies, cfg.max_depth,
                          robots if cfg.respect_robots else None),
-            batch_format="pyarrow")
+        )
 
-        def propose(t: pa.Table) -> pa.Table:
-            p = ray.get(pool_ref)
-            return pa.table({"proposed": pa.array([p.propose(t)],
-                                                  pa.int64())})
+        if cfg.tail_fold_threshold and n_frontier <= cfg.tail_fold_threshold:
+            # tail-wave fold: a BFS converges through tiny frontiers, and
+            # each Ray Data execution pays ~1.5 s of fixed executor
+            # startup regardless of size — run the SAME stage callables
+            # driver-side in fetch_batch_size slices (keeping the
+            # per-batch bucket pruning and deterministic spill names)
+            # through the SAME admission actors.  Propose is a
+            # commutative min-merge, so where the work runs cannot
+            # change admissions.
+            table = pads.dataset(frontier_path,
+                                 format="parquet").to_table()
+            for lo in range(0, table.num_rows, cfg.fetch_batch_size):
+                b = table.slice(lo, cfg.fetch_batch_size)
+                for stage in stages:
+                    b = stage(b)
+                pool.propose(b)
+        else:
+            ds = rd.read_parquet(frontier_path)
+            ds = ds.map_batches(stages[0], batch_format="pyarrow",
+                                batch_size=cfg.fetch_batch_size)
+            ds = ds.map_batches(stages[1], batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size)
+            # extracted rows spill to parquet as a side effect (atomic,
+            # deterministic part names -> task retries overwrite instead
+            # of duplicating); only the link columns continue downstream
+            ds = ds.map_batches(stages[2], batch_format="pyarrow")
+            cand = ds.map_batches(stages[3], batch_format="pyarrow")
+            cand = cand.map_batches(stages[4], batch_format="pyarrow")
 
-        # one streaming execution end-to-end; the materialized sink is one
-        # tiny count row per batch (page content never reaches the driver)
-        final = cand.map_batches(propose,
-                                 batch_format="pyarrow").materialize()
+            def propose(t: pa.Table) -> pa.Table:
+                p = ray.get(pool_ref)
+                return pa.table({"proposed": pa.array([p.propose(t)],
+                                                      pa.int64())})
+
+            # one streaming execution end-to-end; the materialized sink
+            # is one tiny count row per batch (page content never
+            # reaches the driver)
+            final = cand.map_batches(propose,
+                                     batch_format="pyarrow").materialize()
+            if os.environ.get("GRAFT_WAVE_STATS"):
+                print(f"--- wave {wave} stats ---\n{final.stats()}")
         t_pipe = _time.time() - t_wave0
-        if os.environ.get("GRAFT_WAVE_STATS"):
-            print(f"--- wave {wave} stats ---\n{final.stats()}")
         n_next = pool.commit(next_dir)
         t_commit = _time.time() - t_wave0 - t_pipe
         t_wave = _time.time() - t_wave0

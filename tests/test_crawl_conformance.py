@@ -118,6 +118,27 @@ class TestWaveConformance:
         for eng_row, ora_row in zip(trace, oracle.trace):
             assert _trace_key(eng_row) == _trace_key(ora_row)
 
+    def test_tail_fold_identical_to_dataset_path(self, small_corpus,
+                                                 wave_run,
+                                                 tmp_path_factory):
+        """Tail-wave folding (driver-side slices through the same stage
+        callables + admission actors) must be invisible: the full trace
+        — wave, priority, url, parent, vts — is identical to a run with
+        folding disabled (every wave through the Ray Data executor)."""
+        summary, _, _ = wave_run      # default config: folding enabled
+        work = str(tmp_path_factory.mktemp("work_nofold"))
+        eng = CrawlEngine(small_corpus["dir"], work,
+                          CrawlConfig(tail_fold_threshold=0))
+        nofold = eng.run(mode="wave")
+
+        def rows(s):
+            t = pads.dataset(s["trace_path"],
+                             format="parquet").to_table().to_pylist()
+            t.sort(key=lambda r: (r["wave"], r["priority"], r["url_norm"]))
+            return [(_trace_key(r), r["wave"]) for r in t]
+
+        assert rows(summary) == rows(nofold)
+
     def test_seen_set_vs_strict(self, wave_run, strict_run):
         """BFS (min-depth) admission can reach URLs that priority order
         loses to depth inflation near the depth limit — the divergence is
