@@ -795,9 +795,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     equivalence test does).  jaccard_milli uses pure
     integer arithmetic ``(c*1000)//(|A|+|B|-c)`` so the oracle hash-matches
     bit-exactly — up to 64-bit gram-hash collisions: two distinct grams
-    hashing alike inflate an intersection count by one, negligible at
-    tested scale (~2^-64 per gram pair) but a real approximation at
-    10^9-doc corpora; widen the digest if bit-exactness matters there.
+    hashing alike inflate an intersection count by one, or (since the
+    distinct-gram sets and per-doc sizes are computed over hashed
+    grams) deflate a per-doc size by one.  Negligible at tested scale
+    (~2^-64 per gram pair) but a real approximation at 10^9-doc
+    corpora; widen the digest if bit-exactness matters there.
 
     Hot grams (stopword-grams shared by many docs) are the skew risk at
     scale: a gram in d documents emits d*(d-1)/2 pairs.  ``max_gram_df``
@@ -819,21 +821,34 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
                             columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
+        # gram hash = splitmix64-diffused polynomial over the window's
+        # md5-low64 token hashes (vocabulary-cached per worker, so the
+        # md5 cost tends to zero on Zipf webtext) — no gram strings are
+        # ever built and the per-doc work after tokenization is three
+        # numpy passes, not a Python loop over grams
         out_id, out_gram = [], []
+        fnv = np.uint64(1099511628211)
         for doc_id, text in zip(t["doc_id"].to_pylist(),
                                 t["text"].to_pylist()):
             toks = _ASCII_WORD_RE.findall((text or "").lower())
-            grams = {" ".join(toks[i:i + n])
-                     for i in range(len(toks) - n + 1)}
-            for g in grams:
-                out_id.append(doc_id)
-                out_gram.append(int.from_bytes(
-                    hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                    "big"))
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "gram": pa.array(
-                             np.array(out_gram, dtype=np.uint64),
-                             pa.uint64())})
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            hs = _token_hashes(toks)
+            with np.errstate(over="ignore"):
+                acc = hs[:m].copy()
+                for j in range(1, n):
+                    acc = _splitmix64(acc * fnv + hs[j:j + m])
+            grams = np.unique(acc)
+            out_id.append(np.full(len(grams), doc_id, dtype=np.int64))
+            out_gram.append(grams)
+        if out_id:
+            ids, gr = np.concatenate(out_id), np.concatenate(out_gram)
+        else:
+            ids = np.empty(0, np.int64)
+            gr = np.empty(0, np.uint64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(gr, pa.uint64())})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow",
                               batch_size=512).materialize()
