@@ -847,8 +847,13 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
         else:
             ids = np.empty(0, np.int64)
             gr = np.empty(0, np.uint64)
+        # grams ride as BIT-CAST int64: Ray Data's groupby on a uint64
+        # key round-trips values >= 2^63 through Python objects (the
+        # arrow conversion falls back to a pickled extension column and
+        # downstream selects lose the column); the hash is an opaque
+        # key, so the signed view is lossless
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "gram": pa.array(gr, pa.uint64())})
+                         "gram": pa.array(gr.view(np.int64), pa.int64())})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow",
                               batch_size=512).materialize()
@@ -870,8 +875,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
                        t["df"], max_gram_df)).select(["gram"]),
                    batch_format="pyarrow")
                .to_pandas())
-        hot_ref = ray.put(pa.array(
-            np.asarray(hot["gram"], dtype=np.uint64)))
+        # an empty result loses its columns through Dataset.to_pandas —
+        # no gram exceeded the cap, so the filter is a no-op
+        hot_vals = (np.asarray(hot["gram"], dtype=np.int64)
+                    if "gram" in hot.columns else np.empty(0, np.int64))
+        hot_ref = ray.put(pa.array(hot_vals))
 
         def drop_hot(t: pa.Table) -> pa.Table:
             hot_arr = ray.get(hot_ref)
@@ -884,13 +892,15 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
         exploded = exploded.map_batches(drop_hot, batch_format="pyarrow")
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # low 6 bits are endianness-of-sign-agnostic: identical for the
+        # signed view
         bucket = pa.compute.cast(
-            pa.compute.bit_wise_and(t["gram"], np.uint64(63)), pa.int32())
+            pa.compute.bit_wise_and(t["gram"], np.int64(63)), pa.int32())
         return t.append_column("bucket", bucket)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized ragged-triu pair emission per gram bucket
-        gr = g["gram"].to_numpy(dtype=np.uint64)
+        gr = g["gram"].to_numpy(dtype=np.int64)
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         order = np.lexsort((ids, gr))
         gr, ids = gr[order], ids[order]

@@ -70,6 +70,18 @@ def test_pairs_memoized_within_session(planted_corpus):
     assert dedup.simhash_pairs(sf_dir) is not a
 
 
+def test_ngram_cap_noop_when_no_hot_grams(planted_corpus):
+    """A cap no gram exceeds must be a no-op — and must not crash on
+    the empty hot set (Dataset.to_pandas loses columns when empty)."""
+    sf_dir, _, _ = planted_corpus
+    base = dedup.ngram_jaccard_pairs(sf_dir).to_pandas()
+    capped = dedup.ngram_jaccard_pairs(sf_dir,
+                                       max_gram_df=10**9).to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert (base.sort_values(key).reset_index(drop=True)
+            .equals(capped.sort_values(key).reset_index(drop=True)))
+
+
 def test_components_keep_paths_identical(planted_corpus):
     """The driver-side fast path and the distributed propagation must
     produce the identical (node, keep) table."""
