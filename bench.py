@@ -107,6 +107,9 @@ def run_bench() -> dict:
         "simhash_dedup_keep": lambda: dedup.simhash_dedup_keep(sf_dir),
         "embedding_dup_pairs": lambda: dedup.embedding_dup_pairs(sf_dir),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(sf_dir),
+        # both ANN paths build-or-reuse their persisted bucket index
+        # (first run pays the one-time build; the manifest memoizes)
+        "knn_ivf": lambda: similarity.knn_ivf(sf_dir),
         "knn_lsh": lambda: similarity.knn_lsh(sf_dir),
         "token_counts": lambda: textstats.token_counts(sf_dir),
         "lang_id": lambda: textstats.lang_id(sf_dir),
