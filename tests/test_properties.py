@@ -35,6 +35,55 @@ def test_normalize_url_idempotent(url):
     assert "?" not in once and "#" not in once
 
 
+_link_st = st.one_of(
+    _url_st,
+    st.text(max_size=40),                       # garbage
+    st.builds(lambda u: u.upper(), _url_st),    # uppercase scheme
+    st.builds(lambda h, p: f"http://{h}/a;b/{p}?q=1#f",
+              st.from_regex(r"[a-z]{1,8}\.[a-z]{2,3}", fullmatch=True),
+              st.text(alphabet="abc/", max_size=10)),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_link_st, min_size=1, max_size=16))
+def test_candidate_fn_parsing_matches_urlparse(links):
+    """The vectorized admission stage's arrow fast path + RE2 host/path
+    extraction must agree with the per-row urlparse ground truth for
+    any link material (absolute, relative-ish garbage, params/query/
+    fragment, uppercase schemes)."""
+    from urllib.parse import urlparse
+
+    import pyarrow as pa
+
+    from crawler_ray.functions.patterns import default_url_classifier
+    from crawler_ray.functions.priority import default_policy_manager
+    from crawler_ray.pipelines.wave import _CandidateFn
+
+    n = len(links)
+    want_norm = [normalize_url(u) for u in links]
+    t = pa.table({
+        "link": pa.array(links, pa.string()),
+        "link_index": pa.array(range(n), pa.int32()),
+        "parent_url": pa.array(["http://p/"] * n, pa.string()),
+        "parent_host": pa.array(["p"] * n, pa.string()),
+        "parent_priority": pa.array([0] * n, pa.int32()),
+        "cand_depth": pa.array([1] * n, pa.int32()),
+        "fixed_job_type": pa.array([""] * n, pa.string()),
+        # bypass: keep EVERY row so the parse of every input is checked
+        "bypass_host": pa.array([True] * n, pa.bool_()),
+    })
+    fn = _CandidateFn(default_url_classifier(), default_policy_manager(),
+                      max_depth=99, robots=None)
+    out = fn(t)
+    assert out["url_norm"].to_pylist() == want_norm
+    for norm, host in zip(want_norm, out["host"].to_pylist()):
+        if norm.startswith(("http://", "https://")):
+            assert host == urlparse(norm).netloc, norm
+        else:
+            assert host == ""  # non-http schemes carry no host here
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=400))
 def test_persian_normalize_reaches_fixpoint(text):
