@@ -94,10 +94,26 @@ def _load_queries(sf_dir: str,
 
 
 def _batch_vectors(t: pa.Table):
-    """(ids, L2-normalized float64 matrix) for one embeddings batch."""
-    ids = np.asarray(t["vec_id"].to_pylist())
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    """(ids, L2-normalized float64 matrix) for one embeddings batch.
+    Constant-length list columns decode via one zero-copy
+    ``list_flatten`` + reshape instead of a per-row ``to_pylist``
+    (the dominant cost of every ANN batch at 10^5+ rows); ragged or
+    null-bearing columns fall back to the row path."""
+    import pyarrow.compute as pc
+
+    ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False))
+    col = t["embedding"].combine_chunks()
+    n = len(col)
+    lens = pc.list_value_length(col)
+    mm = pc.min_max(lens).as_py() if n else {"min": None, "max": None}
+    if (n and col.null_count == 0 and mm["min"] is not None
+            and mm["min"] == mm["max"] and mm["min"] > 0):
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        mat = flat.astype(np.float64, copy=False).reshape(n, mm["min"])
+    else:
+        mat = np.asarray(col.to_pylist(), dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-12)
     return ids, mat
 
 
@@ -294,6 +310,52 @@ def _spill_bucketed(t: pa.Table, root: str, bucket_col: str,
     return written
 
 
+def _compact_buckets(root: str, rows_per_file: int = 512_000) -> None:
+    """Rewrite each bucket dir's many per-task spill files into a few
+    ~``rows_per_file`` files (a 4096-row build batch times hundreds of
+    tasks otherwise leaves thousands of tiny parts, and per-file read
+    overhead then swamps the probed-bucket pruning).  Memory-bounded:
+    parts are merged in runs capped by row count, never a whole bucket
+    at once.  Runs as raw Ray tasks — this is filesystem maintenance,
+    not a data transform.  Crash-safe: the manifest is written only
+    after the whole build, so a partially compacted root is rebuilt
+    from scratch."""
+    import ray
+
+    dirs = [os.path.join(root, d) for d in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, d))]
+
+    @ray.remote(num_cpus=0.5)
+    def compact(d: str) -> int:
+        parts = sorted(f for f in os.listdir(d)
+                       if f.endswith(".parquet"))
+        if len(parts) <= 1:
+            return 0
+        runs: list[list[str]] = [[]]
+        run_rows = 0
+        for f in parts:
+            nr = pq.read_metadata(os.path.join(d, f)).num_rows
+            if run_rows + nr > rows_per_file and runs[-1]:
+                runs.append([])
+                run_rows = 0
+            runs[-1].append(f)
+            run_rows += nr
+        for i, run in enumerate(runs):
+            t = pa.concat_tables(
+                [pq.read_table(os.path.join(d, f)) for f in run])
+            out = os.path.join(d, f"part-c{i:04d}.parquet")
+            tmp = f"{out}.tmp.{os.getpid()}"
+            pq.write_table(t, tmp, row_group_size=4096)
+            os.replace(tmp, out)
+        keep = {f"part-c{i:04d}.parquet" for i in range(len(runs))}
+        for f in parts:
+            if f not in keep:
+                os.remove(os.path.join(d, f))
+        return len(parts)
+
+    ray.get([compact.remote(d) for d in dirs])
+
+
 def _bucket_files(root: str, bucket_col: str,
                   bucket_ids: list[int]) -> list[str]:
     """All part files under the named bucket dirs (missing dirs are
@@ -357,6 +419,7 @@ def ivf_build_index(sf_dir: str, n_centroids: int = 16, seed: int = 7,
     counts = (_rd().read_parquet(path, columns=["vec_id", "embedding"])
               .map_batches(spill, batch_format="pyarrow", batch_size=4096)
               .materialize())           # side effects run exactly once
+    _compact_buckets(root)
     _write_manifest(root, path, params, {
         "centroids": centroids.astype(np.float64).tobytes().hex(),
         "centroid_shape": list(centroids.shape),
@@ -498,6 +561,7 @@ def lsh_build_index(sf_dir: str, n_tables: int = 8, n_bits: int = 4,
     counts = (_rd().read_parquet(path, columns=["vec_id", "embedding"])
               .map_batches(spill, batch_format="pyarrow", batch_size=4096)
               .materialize())           # side effects run exactly once
+    _compact_buckets(root)
     _write_manifest(root, path, params, {
         "planes": planes.astype(np.float64).tobytes().hex(),
         "plane_shape": list(planes.shape),
