@@ -197,6 +197,12 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
                     b = stage(b)
                 pool.propose(b)
         else:
+            # NOTE on task granularity: shrinking fetch_batch_size for
+            # mid-size frontiers to pack the cluster better was tried
+            # and measured SLOWER (30 s vs 23 s default bench) — small
+            # fetch batches re-read shared corpus row groups (the
+            # range+isin pruning overlaps across batches) and multiply
+            # spill parts; the configured size stays authoritative.
             ds = rd.read_parquet(frontier_path)
             ds = ds.map_batches(stages[0], batch_format="pyarrow",
                                 batch_size=cfg.fetch_batch_size)
