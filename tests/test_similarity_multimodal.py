@@ -152,6 +152,27 @@ class TestANNIndexPruning:
         assert r2 == r1
         assert os.stat(manifest).st_mtime_ns == stamp  # no rebuild
 
+    def test_index_invalidated_when_source_changes(self, tmp_path):
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from crawler_ray.ops import similarity
+        src = tmp_path / "sf"
+        src.mkdir()
+        shutil.copy(f"{SF}/embeddings.parquet",
+                    src / "embeddings.parquet")
+        root = str(tmp_path / "ivf")
+        similarity.ivf_build_index(str(src), index_root=root)
+        manifest = os.path.join(root, "_INDEX.json")
+        stamp = os.stat(manifest).st_mtime_ns
+        # rewrite the source (new fingerprint, same content)
+        t = pq.read_table(src / "embeddings.parquet")
+        pq.write_table(t, src / "embeddings.parquet")
+        similarity.ivf_build_index(str(src), index_root=root)
+        assert os.stat(manifest).st_mtime_ns != stamp  # rebuilt
+
 
 class TestMultimodal:
     def test_payload_meta_counts_bytes(self):
