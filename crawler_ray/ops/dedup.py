@@ -1007,19 +1007,19 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4,
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding", "label"])
 
-    def per_label(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
+    def per_label(g: pa.Table) -> pd.DataFrame:
+        n = g.num_rows
         if n > max_group_rows:
-            label = g["label"].iloc[0]
+            label = g["label"][0].as_py()
             raise ValueError(
                 f"label bucket {label!r} has {n} rows "
                 f"(> max_group_rows={max_group_rows}): exact all-pairs "
                 f"cosine is O(n^2); pre-bucket this hot label (LSH/IVF) "
                 f"or raise max_group_rows explicitly")
-        ids = g["vec_id"].to_numpy().astype(np.int64)
-        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.maximum(norms, 1e-12)
+        # same zero-copy constant-length list decode as the ANN paths
+        from crawler_ray.ops.similarity import _batch_vectors
+        ids, mat = _batch_vectors(g)
+        ids = np.asarray(ids, dtype=np.int64)
         out_a, out_b, out_m = [], [], []
         for i0 in range(0, n, tile_rows):
             rows = mat[i0:i0 + tile_rows]
@@ -1048,7 +1048,8 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4,
         return df.astype({"vec_id_a": "int64", "vec_id_b": "int64",
                           "cos_milli": "int64"})
 
-    return ds.groupby("label").map_groups(per_label, batch_format="pandas")
+    return ds.groupby("label").map_groups(per_label,
+                                          batch_format="pyarrow")
 
 
 def ngram_jaccard_dedup_keep(sf_dir: str, max_rounds: int = 64,
