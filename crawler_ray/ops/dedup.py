@@ -380,9 +380,11 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
             return pa.table({"band": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.uint64()),
                              "doc_id": pa.array([], pa.int64())})
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
-                         for s in t["sig"].to_pylist()])
-        mat = sigs.reshape(len(sigs), bands, rows)
+        # one frombuffer over the joined fixed-width payloads (the
+        # verify stage's idiom) instead of a per-row frombuffer+stack
+        sigs = np.frombuffer(b"".join(t["sig"].to_pylist()),
+                             dtype=np.uint64)
+        mat = sigs.reshape(t.num_rows, bands, rows)
         pows = np.empty(rows, dtype=np.uint64)
         pows[-1] = 1
         with np.errstate(over="ignore"):
