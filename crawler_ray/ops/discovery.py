@@ -192,6 +192,66 @@ def load_patterns(path: str) -> list[dict]:
         return json.load(f)["patterns"]
 
 
+# -- S10: the DB variant — one row per domain in a keyed table -------------
+
+_PATTERN_DB_SCHEMA = None
+
+
+def pattern_store(root: str):
+    """S10 pattern-DB persistence: the reference keeps one ``Domain``
+    row per site whose ``keywords`` column carries the discovered
+    structure as JSON, updated-or-created by domain id
+    (``core/structure_discovery.py:1533-1575`` save,
+    ``:1350-1414`` load).  Here the MySQL table is the keyed
+    ``TableStore`` (hash-partitioned parquet, partition-local upserts)
+    — same row shape, same update-or-create semantics, distributed
+    mutation path."""
+    global _PATTERN_DB_SCHEMA
+    if _PATTERN_DB_SCHEMA is None:
+        _PATTERN_DB_SCHEMA = pa.schema([
+            ("domain_id", pa.int64()), ("name", pa.string()),
+            ("keywords_json", pa.string()),
+            ("auto_detected", pa.bool_())])
+    from crawler_ray.state.tablestore import TableStore
+    return TableStore.create(root, "domain_id", _PATTERN_DB_SCHEMA,
+                             num_partitions=4)
+
+
+def save_patterns_to_store(store, domain_id: int, name: str,
+                           patterns: list[dict],
+                           important_sections: list | None = None,
+                           html_patterns: dict | None = None) -> dict:
+    """Update-or-create the domain's pattern row (the reference's
+    ``_save_patterns_to_db``); returns the upsert counts — ``updated``
+    == 1 replays the reference's update branch, ``inserted`` == 1 its
+    create branch."""
+    import json
+
+    import ray.data as rd
+    blob = json.dumps({"patterns": patterns,
+                       "important_sections": important_sections or [],
+                       "html_patterns": html_patterns or {}},
+                      ensure_ascii=False, sort_keys=True)
+    row = pa.table({
+        "domain_id": pa.array([domain_id], pa.int64()),
+        "name": pa.array([name], pa.string()),
+        "keywords_json": pa.array([blob], pa.string()),
+        "auto_detected": pa.array([True], pa.bool_())})
+    return store.upsert(rd.from_arrow(row))
+
+
+def load_patterns_from_store(store, domain_id: int) -> dict | None:
+    """Point-get the domain's structure blob (the reference's
+    ``_load_patterns_from_db``): ``None`` when the domain row is
+    absent — callers fall back to the file artifacts, as the
+    reference does."""
+    import json
+    t = store.get([domain_id])
+    if t.num_rows == 0:
+        return None
+    return json.loads(t["keywords_json"][0].as_py())
+
+
 # ---------------------------------------------------------------------------
 # HTML selector discovery (M22) + URL -> selector similarity join (J5)
 # ---------------------------------------------------------------------------

@@ -242,3 +242,32 @@ def test_discovered_selectors_convert_round_trip():
     assert xp["container"].startswith("//div[contains(@class, ")
     assert xp["item"].startswith(xp["container"] + "//")
     assert "pagination" in xp
+
+
+def test_pattern_db_store_roundtrip(ray_session, tmp_path):
+    """S10 DB-variant persistence over the TableStore: update-or-create
+    by domain id, point-get load, None for absent domains (the
+    reference's file fallback trigger)."""
+    from crawler_ray.ops.discovery import (load_patterns_from_store,
+                                           pattern_store,
+                                           save_patterns_to_store)
+    store = pattern_store(str(tmp_path / "domains"))
+    pats = [{"pattern": "/post/*", "job_type": "detail"}]
+    counts = save_patterns_to_store(store, 7, "example.com", pats,
+                                    important_sections=["/blog/"])
+    assert counts == {"inserted": 1, "updated": 0}  # create branch
+    got = load_patterns_from_store(store, 7)
+    assert got["patterns"] == pats
+    assert got["important_sections"] == ["/blog/"]
+    # update branch: same domain id replaces the blob
+    counts = save_patterns_to_store(store, 7, "example.com",
+                                    pats + [{"pattern": "/tag/*",
+                                             "job_type": "list"}])
+    assert counts == {"inserted": 0, "updated": 1}
+    assert len(load_patterns_from_store(store, 7)["patterns"]) == 2
+    # absent domain -> None (callers fall back to the file artifacts)
+    assert load_patterns_from_store(store, 8) is None
+    # a second domain lands in its own row
+    save_patterns_to_store(store, 8, "other.com", [])
+    assert load_patterns_from_store(store, 8)["patterns"] == []
+    assert store.count() == 2
