@@ -50,8 +50,22 @@ __all__ = ["load_sklearn_pickle", "convert_linear_model",
            "convert_vectorizer", "import_sklearn_artifact"]
 
 _STUB_PREFIXES = ("sklearn.", "scipy.")
-_ALLOWED_MODULES = ("numpy", "builtins", "collections", "datetime",
-                    "copyreg", "_codecs")
+# module roots whose classes/reconstructors may load for real — numpy
+# array reconstruction plus the container/codec helpers pickles of
+# numpy-bearing objects actually reference.  NOT whole stdlib modules:
+# builtins in particular holds eval/exec/__import__, so it is limited
+# to the explicit name list below.
+_ALLOWED_MODULE_ROOTS = ("numpy",)
+_ALLOWED_GLOBALS = {
+    ("builtins", n) for n in
+    ("set", "frozenset", "complex", "bytearray", "range", "slice",
+     "bool", "int", "float", "str", "bytes", "list", "tuple", "dict")
+} | {
+    ("collections", "OrderedDict"), ("collections", "defaultdict"),
+    ("collections", "Counter"), ("datetime", "datetime"),
+    ("datetime", "date"), ("datetime", "timedelta"),
+    ("copyreg", "_reconstructor"), ("_codecs", "encode"),
+}
 
 
 class _Stub:
@@ -80,11 +94,13 @@ class _RestrictedUnpickler(pickle.Unpickler):
         if any(module == p[:-1] or module.startswith(p)
                for p in _STUB_PREFIXES):
             return type(name, (_Stub,), {"_module": module})
-        if root in _ALLOWED_MODULES:
+        if root in _ALLOWED_MODULE_ROOTS \
+                or (module, name) in _ALLOWED_GLOBALS:
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
-            f"refusing to unpickle {module}.{name}: only numpy/stdlib "
-            f"reconstruction and sklearn/scipy stubs are allowed")
+            f"refusing to unpickle {module}.{name}: only numpy "
+            f"reconstruction, an explicit container/codec allowlist, "
+            f"and sklearn/scipy stubs are allowed")
 
 
 def load_sklearn_pickle(path_or_bytes) -> object:
@@ -116,18 +132,35 @@ def _walk(obj, seen=None):
 
 
 def _class_names(pkg) -> list[str] | None:
-    """Class names: the package's explicit list first (the reference
-    stores ``content_types`` / ``domains``), else any LabelEncoder's
-    ``classes_``."""
+    """Class names IN COEF ROW ORDER.  The reference trains on
+    ``label_encoder.transform(y)``, so ``coef_`` row ``i`` is
+    ``label_encoder.classes_[i]`` — the encoder's (sorted) order is
+    authoritative, never the stored ``content_types`` list's order.
+    We prefer a STRING-dtype ``classes_`` (the encoder's; the
+    estimator's own ``classes_`` is the integer-transformed one), fall
+    back to the stored list, and fail loudly if the two disagree as
+    SETS (a mismatched artifact)."""
+    stored = None
     if isinstance(pkg, dict):
         for key in ("content_types", "domains", "classes"):
             val = pkg.get(key)
             if val is not None:
-                return [str(c) for c in val]
+                stored = [str(c) for c in val]
+                break
+    encoder = None
     for node in _walk(pkg):
         if isinstance(node, _Stub) and hasattr(node, "classes_"):
-            return [str(c) for c in np.asarray(node.classes_)]
-    return None
+            arr = np.asarray(node.classes_)
+            if arr.dtype.kind in ("U", "S", "O"):
+                encoder = [str(c) for c in arr]
+                break
+    if encoder is not None:
+        if stored is not None and set(stored) != set(encoder):
+            raise ValueError(
+                f"stored class list {stored} does not match the "
+                f"LabelEncoder's classes_ {encoder}")
+        return encoder
+    return stored
 
 
 def convert_linear_model(pkg) -> tuple[np.ndarray, np.ndarray,

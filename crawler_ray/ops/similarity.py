@@ -52,7 +52,18 @@ _ANN_ROOT_ENV = "CRAWLER_RAY_ANN_ROOT"
 
 
 def _ann_root() -> str:
-    return os.environ.get(_ANN_ROOT_ENV, "/tmp/crawler_ray_ann")
+    base = os.environ.get(_ANN_ROOT_ENV)
+    if base:
+        return base
+    import tempfile
+    try:
+        import getpass
+        user = getpass.getuser()
+    except Exception:
+        user = f"uid{os.getuid()}" if hasattr(os, "getuid") else "nouser"
+    # per-user dir: a fixed shared /tmp path breaks with PermissionError
+    # the moment another user created it first
+    return os.path.join(tempfile.gettempdir(), f"crawler_ray_ann_{user}")
 
 
 def _rd():
@@ -288,6 +299,33 @@ def _write_manifest(root: str, path: str, params: dict,
     os.replace(tmp, os.path.join(root, "_INDEX.json"))
 
 
+def _gc_stale_roots(kind: str, src_path: str, keep_root: str) -> None:
+    """Remove sibling DEFAULT-root indexes of the same kind built from
+    the same source file under an older fingerprint.  The default root
+    name embeds the fingerprint, so every source rewrite would
+    otherwise orphan a complete index copy (n_tables x corpus for LSH)
+    until the temp dir fills.  Explicit ``index_root`` callers own
+    their lifecycle; manifest-less dirs are skipped (possibly another
+    builder mid-build)."""
+    base = os.path.abspath(_ann_root())
+    keep = os.path.abspath(keep_root)
+    if os.path.dirname(keep) != base or not os.path.isdir(base):
+        return
+    src = os.path.abspath(src_path)
+    for d in os.listdir(base):
+        full = os.path.join(base, d)
+        if full == keep or not d.startswith(f"{kind}-"):
+            continue
+        try:
+            with open(os.path.join(full, "_INDEX.json")) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        fp = meta.get("fingerprint") or [None]
+        if fp and fp[0] == src:
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def _spill_bucketed(t: pa.Table, root: str, bucket_col: str,
                     buckets: np.ndarray, suffix: str = "") -> int:
     """Write one batch's rows split by bucket, one file per
@@ -380,6 +418,13 @@ _PARTIAL_SCHEMA = pa.schema([("query_id", pa.int64()),
                              ("vec_id", pa.int64()),
                              ("score", pa.float64())])
 
+# the FINAL result schema — empty early-returns must carry it (an
+# empty dataset through groupby().map_groups loses even the partial
+# schema: final_topk never runs)
+_TOPK_SCHEMA = pa.schema([("query_id", pa.int64()),
+                          ("vec_id", pa.int64()),
+                          ("rank", pa.int64())])
+
 
 def ivf_build_index(sf_dir: str, n_centroids: int = 16, seed: int = 7,
                     iters: int = 10, sample_per_centroid: int = 256,
@@ -424,6 +469,7 @@ def ivf_build_index(sf_dir: str, n_centroids: int = 16, seed: int = 7,
         "centroids": centroids.astype(np.float64).tobytes().hex(),
         "centroid_shape": list(centroids.shape),
         "rows": int(counts.sum("rows") or 0)})
+    _gc_stale_roots("ivf", path, root)
     return root
 
 
@@ -464,8 +510,9 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 4,
         paths = _bucket_files(root, "bucket",
                               np.unique(probe).tolist())
         if not paths:
-            return _final_topk_groups(
-                _rd().from_arrow(_PARTIAL_SCHEMA.empty_table()), k)
+            # a pa.Table keeps the schema; an empty Dataset's
+            # to_pandas() would drop the columns entirely
+            return _TOPK_SCHEMA.empty_table()
         ctx_ref = ray.put((qids, qmat, probe))
 
         def pruned_topk(t: pa.Table) -> pa.Table:
@@ -566,6 +613,7 @@ def lsh_build_index(sf_dir: str, n_tables: int = 8, n_bits: int = 4,
         "planes": planes.astype(np.float64).tobytes().hex(),
         "plane_shape": list(planes.shape),
         "rows": int(counts.sum("rows") or 0)})
+    _gc_stale_roots("lsh", path, root)
     return root
 
 
@@ -618,8 +666,9 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 4,
                  + qcodes).astype(np.int32)    # (n_q, n_tables)
         paths = _bucket_files(root, "tkey", np.unique(qkeys).tolist())
         if not paths:
-            return _final_topk_groups(
-                _rd().from_arrow(_PARTIAL_SCHEMA.empty_table()), k)
+            # a pa.Table keeps the schema; an empty Dataset's
+            # to_pandas() would drop the columns entirely
+            return _TOPK_SCHEMA.empty_table()
         ctx_ref = ray.put((qids, qmat, qkeys))
 
         def pruned_topk(t: pa.Table) -> pa.Table:

@@ -191,11 +191,20 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
             # change admissions.
             table = pads.dataset(frontier_path,
                                  format="parquet").to_table()
-            for lo in range(0, table.num_rows, cfg.fetch_batch_size):
-                b = table.slice(lo, cfg.fetch_batch_size)
-                for stage in stages:
-                    b = stage(b)
-                pool.propose(b)
+            # _FetchFn clamps the process-global arrow thread pools
+            # (right inside a Ray worker, wrong to leave behind on the
+            # DRIVER where later arrow work wants the full pools) —
+            # save and restore around the fold
+            prev_pa = (pa.cpu_count(), pa.io_thread_count())
+            try:
+                for lo in range(0, table.num_rows, cfg.fetch_batch_size):
+                    b = table.slice(lo, cfg.fetch_batch_size)
+                    for stage in stages:
+                        b = stage(b)
+                    pool.propose(b)
+            finally:
+                pa.set_cpu_count(prev_pa[0])
+                pa.set_io_thread_count(prev_pa[1])
         else:
             # NOTE on task granularity: shrinking fetch_batch_size for
             # mid-size frontiers to pack the cluster better was tried
@@ -538,13 +547,16 @@ class _CandidateFn:
             return CANDIDATE_SCHEMA.empty_table()
         links = t["link"].combine_chunks()
         # normalize_url is the IDENTITY for the absolute-http majority
-        # with no params/query/fragment (urlparse rebuilds the same
-        # string) — two arrow kernels find them, and only the leftover
-        # rows pay the per-row urlparse
+        # with no params/query/fragment AND no whitespace (urlparse
+        # strips embedded \t\r\n and surrounding C0/space, so any
+        # whitespace disqualifies the identity) — two arrow kernels
+        # find them, and only the leftover rows pay the per-row
+        # urlparse
         fast = pc.and_(
             pc.or_(pc.starts_with(links, "http://"),
                    pc.starts_with(links, "https://")),
-            pc.invert(pc.match_substring_regex(links, r"[;?#]")))
+            pc.invert(pc.match_substring_regex(
+                links, r"[;?#\s\x00-\x1f]")))
         fast_np = np.asarray(pc.fill_null(fast, False))
         if fast_np.all():
             norm_arr = links.cast(pa.string())

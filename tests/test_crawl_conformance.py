@@ -125,11 +125,27 @@ class TestWaveConformance:
         callables + admission actors) must be invisible: the full trace
         — wave, priority, url, parent, vts — is identical to a run with
         folding disabled (every wave through the Ray Data executor)."""
+        import pyarrow as pa
         summary, _, _ = wave_run      # default config: folding enabled
         work = str(tmp_path_factory.mktemp("work_nofold"))
         eng = CrawlEngine(small_corpus["dir"], work,
                           CrawlConfig(tail_fold_threshold=0))
         nofold = eng.run(mode="wave")
+        # the fold path runs _FetchFn driver-side, which clamps the
+        # process-global arrow pools — the fold must restore whatever
+        # the driver had (pin with a sentinel value, since the env
+        # default here may itself be 1)
+        prev = (pa.cpu_count(), pa.io_thread_count())
+        try:
+            pa.set_cpu_count(3)
+            pa.set_io_thread_count(5)
+            work2 = str(tmp_path_factory.mktemp("work_fold2"))
+            CrawlEngine(small_corpus["dir"], work2,
+                        CrawlConfig()).run(mode="wave")
+            assert (pa.cpu_count(), pa.io_thread_count()) == (3, 5)
+        finally:
+            pa.set_cpu_count(prev[0])
+            pa.set_io_thread_count(prev[1])
 
         def rows(s):
             t = pads.dataset(s["trace_path"],

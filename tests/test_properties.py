@@ -42,6 +42,11 @@ _link_st = st.one_of(
     st.builds(lambda h, p: f"http://{h}/a;b/{p}?q=1#f",
               st.from_regex(r"[a-z]{1,8}\.[a-z]{2,3}", fullmatch=True),
               st.text(alphabet="abc/", max_size=10)),
+    # urlparse strips embedded \t\r\n and surrounding whitespace —
+    # these MUST disqualify the arrow identity fast path
+    st.builds(lambda u, ws, i: u[:i] + ws + u[i:],
+              _url_st, st.sampled_from(["\t", "\r", "\n", " "]),
+              st.integers(min_value=0, max_value=12)),
 )
 
 

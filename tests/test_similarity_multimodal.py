@@ -152,6 +152,44 @@ class TestANNIndexPruning:
         assert r2 == r1
         assert os.stat(manifest).st_mtime_ns == stamp  # no rebuild
 
+    def test_empty_probe_returns_topk_schema(self, tmp_path,
+                                             monkeypatch):
+        """When every probed bucket is empty the result must still
+        carry the (query_id, vec_id, rank) schema, not a columnless
+        empty dataset."""
+        from crawler_ray.ops import similarity
+        root = str(tmp_path / "ivf")
+        similarity.ivf_build_index(SF, index_root=root)
+        monkeypatch.setattr(similarity, "_bucket_files",
+                            lambda *a, **k: [])
+        out = similarity.knn_ivf(SF, index_root=root).to_pandas()
+        assert list(out.columns) == ["query_id", "vec_id", "rank"]
+        assert len(out) == 0
+
+    def test_stale_default_roots_garbage_collected(self, tmp_path,
+                                                   monkeypatch):
+        """A rewritten source under the DEFAULT ann root must not
+        orphan the previous index copy."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from crawler_ray.ops import similarity
+        monkeypatch.setenv("CRAWLER_RAY_ANN_ROOT",
+                           str(tmp_path / "annroot"))
+        src = tmp_path / "sf"
+        src.mkdir()
+        shutil.copy(f"{SF}/embeddings.parquet",
+                    src / "embeddings.parquet")
+        r1 = similarity.ivf_build_index(str(src))
+        t = pq.read_table(src / "embeddings.parquet")
+        pq.write_table(t, src / "embeddings.parquet")  # new fingerprint
+        r2 = similarity.ivf_build_index(str(src))
+        assert r2 != r1
+        assert not os.path.exists(r1)   # stale sibling collected
+        assert os.path.exists(r2)
+
     def test_index_invalidated_when_source_changes(self, tmp_path):
         import os
         import shutil

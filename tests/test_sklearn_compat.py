@@ -174,3 +174,33 @@ def test_hostile_pickle_rejected():
     hostile = pickle.dumps(posixpath.join)  # non-allowlisted module
     with pytest.raises(pickle.UnpicklingError, match="refusing"):
         load_sklearn_pickle(hostile)
+    # builtins is NOT wholesale-allowed: eval/exec/__import__ must be
+    # refused (a hand-built GLOBAL opcode for builtins.eval)
+    for name in (b"eval", b"exec", b"__import__", b"getattr"):
+        payload = b"cbuiltins\n" + name + b"\n."
+        with pytest.raises(pickle.UnpicklingError, match="refusing"):
+            load_sklearn_pickle(payload)
+
+
+def test_encoder_order_wins_over_stored_list(tmp_path):
+    """coef_ rows follow LabelEncoder order (sorted), not the stored
+    content_types order — a permuted stored list must not permute
+    predictions, and a mismatched SET must raise."""
+    classes_map = _fake_modules()
+    try:
+        lr = classes_map["LogisticRegression"]()
+        lr.coef_ = np.eye(3)
+        lr.intercept_ = np.zeros(3)
+        lr.classes_ = np.arange(3)
+        le = classes_map["LabelEncoder"]()
+        le.classes_ = np.array(["law", "news", "qa"])  # sorted (sklearn)
+        raw = pickle.dumps({"model": lr, "label_encoder": le,
+                            "content_types": ["news", "law", "qa"]})
+        bad = pickle.dumps({"model": lr, "label_encoder": le,
+                            "content_types": ["news", "OTHER", "qa"]})
+    finally:
+        _cleanup_modules()
+    _, _, classes = convert_linear_model(load_sklearn_pickle(raw))
+    assert classes == ["law", "news", "qa"]  # encoder order, not stored
+    with pytest.raises(ValueError, match="does not match"):
+        convert_linear_model(load_sklearn_pickle(bad))
