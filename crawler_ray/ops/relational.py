@@ -52,17 +52,29 @@ def pricing_summary(sf_dir: str):
                  "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["qty_i"] = np.floor(df["l_quantity"]).astype("int64")
-        df["base_cents"] = _cents(df["l_extendedprice"])
-        df["disc_cents"] = _cents(
-            df["l_extendedprice"] * (1 - df["l_discount"]))
-        g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-             .agg(sum_qty=("qty_i", "sum"),
-                  sum_base_cents=("base_cents", "sum"),
-                  sum_disc_cents=("disc_cents", "sum"),
-                  count_order=("qty_i", "size")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow-native combiner: the same IEEE double ops as the pandas
+        # original (multiply, then floor), so int64 partials stay
+        # bit-identical to the DuckDB twin.
+        price = batch["l_extendedprice"]
+        disc_mult = pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        pre = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_i": pc.cast(pc.floor(batch["l_quantity"]), pa.int64()),
+            "base_cents": pc.cast(
+                pc.floor(pc.multiply(price, pa.scalar(100.0))),
+                pa.int64()),
+            "disc_cents": pc.cast(
+                pc.floor(pc.multiply(pc.multiply(price, disc_mult),
+                                     pa.scalar(100.0))),
+                pa.int64())})
+        g = pre.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_i", "sum"), ("base_cents", "sum"),
+             ("disc_cents", "sum"), ("qty_i", "count")])
+        ren = {"qty_i_sum": "sum_qty", "base_cents_sum": "sum_base_cents",
+               "disc_cents_sum": "sum_disc_cents",
+               "qty_i_count": "count_order"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=65536)
@@ -129,14 +141,26 @@ def events_by_type(sf_dir: str, k: int = 5):
 
 def brand_revenue(sf_dir: str):
     """Broadcast join (J4 small-side pattern): the part table rides
-    ``ray.put`` once and is fetched in the actor's ``__init__``; lineitem
-    batches look it up with a pandas merge — no shuffle of the big side."""
+    ``ray.put`` once as (sorted keys, brand codes) numpy arrays —
+    zero-copy from the object store, unlike a pickled DataFrame — and
+    is fetched in the actor's ``__init__``; lineitem batches resolve
+    brands with one vectorized searchsorted, no shuffle of the big
+    side.  Misses are dropped (inner join), matching the pandas-merge
+    original."""
+    import pyarrow.parquet as pq
     import ray
     from ray.data.aggregate import Sum
 
-    part = pd.read_parquet(f"{sf_dir}/part.parquet",
-                           columns=["p_partkey", "p_brand"])
-    part_ref = ray.put(part)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    enc = part["p_brand"].combine_chunks().dictionary_encode()
+    brand_names = [str(v) for v in enc.dictionary.to_pylist()]
+    keys = np.asarray(part["p_partkey"].to_numpy(zero_copy_only=False),
+                      np.int64)
+    codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                       np.int32)
+    srt = np.argsort(keys, kind="stable")
+    part_ref = ray.put((keys[srt], codes[srt]))
 
     ds = _rd().read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -144,18 +168,36 @@ def brand_revenue(sf_dir: str):
 
     class JoinRevenue:
         def __init__(self):
-            self.part = ray.get(part_ref)
+            self.keys, self.codes = ray.get(part_ref)
+            self.brands = pa.array(brand_names, pa.string())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df["revenue_cents"] = _cents(
-                df["l_extendedprice"] * (1 - df["l_discount"]))
-            merged = df.merge(self.part, left_on="l_partkey",
-                              right_on="p_partkey", how="inner")
-            g = (merged.groupby("p_brand", as_index=False)
-                 .agg(revenue_cents=("revenue_cents", "sum"),
-                      n_items=("revenue_cents", "size")))
-            return pa.Table.from_pandas(g, preserve_index=False)
+            price = batch["l_extendedprice"]
+            mult = pc.subtract(pa.scalar(1.0), batch["l_discount"])
+            cents = pc.cast(
+                pc.floor(pc.multiply(pc.multiply(price, mult),
+                                     pa.scalar(100.0))),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            k = np.asarray(batch["l_partkey"].to_numpy(
+                zero_copy_only=False), np.int64)
+            if len(self.keys) == 0 or len(k) == 0:
+                hit = np.zeros(len(k), bool)
+                code = np.empty(0, np.int32)
+            else:
+                pos = np.searchsorted(self.keys, k)
+                safe = np.minimum(pos, len(self.keys) - 1)
+                hit = self.keys[safe] == k
+                code = self.codes[safe[hit]]
+            nb = len(brand_names)
+            sums = np.zeros(nb, np.int64)
+            cnts = np.zeros(nb, np.int64)
+            np.add.at(sums, code, cents[hit])
+            np.add.at(cnts, code, 1)
+            nz = np.flatnonzero(cnts)
+            return pa.table({
+                "p_brand": self.brands.take(pa.array(nz, pa.int32())),
+                "revenue_cents": pa.array(sums[nz], pa.int64()),
+                "n_items": pa.array(cnts[nz], pa.int64())})
 
     partials = ds.map_batches(JoinRevenue, batch_format="pyarrow",
                               batch_size=65536, concurrency=2)
@@ -166,7 +208,11 @@ def brand_revenue(sf_dir: str):
 
 def region_customers(sf_dir: str):
     """Multi-way dimension join (J6 link-table shape): nation+region are
-    tiny — broadcast both, aggregate customers per region name."""
+    tiny — the driver merges them once, then broadcasts (sorted nation
+    keys, region codes) numpy arrays; customer batches resolve the
+    region with one vectorized searchsorted and pre-aggregate per batch
+    (inner-join semantics: customers with an unknown nation drop, same
+    as the pandas-merge original)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -174,20 +220,42 @@ def region_customers(sf_dir: str):
     region = pd.read_parquet(f"{sf_dir}/region.parquet")
     dim = nation.merge(region, left_on="n_regionkey",
                        right_on="r_regionkey")[["n_nationkey", "r_name"]]
-    dim_ref = ray.put(dim)
+    r_names = sorted(dim["r_name"].unique())
+    r_code = {n: i for i, n in enumerate(r_names)}
+    n_keys = dim["n_nationkey"].to_numpy(np.int64)
+    n_codes = dim["r_name"].map(r_code).to_numpy(np.int32)
+    srt = np.argsort(n_keys, kind="stable")
+    dim_ref = ray.put((n_keys[srt], n_codes[srt]))
+    region_arr = pa.array(r_names, pa.string())
 
     ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
                             columns=["c_nationkey", "c_acctbal"])
 
     def join(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["acctbal_cents"] = _cents(df["c_acctbal"])
-        merged = df.merge(ray.get(dim_ref), left_on="c_nationkey",
-                          right_on="n_nationkey")
-        g = (merged.groupby("r_name", as_index=False)
-             .agg(n_customers=("acctbal_cents", "size"),
-                  sum_acctbal_cents=("acctbal_cents", "sum")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        keys, codes = ray.get(dim_ref)
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch["c_acctbal"], pa.scalar(100.0))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        k = np.asarray(batch["c_nationkey"].to_numpy(
+            zero_copy_only=False), np.int64)
+        if len(keys) == 0 or len(k) == 0:
+            hit = np.zeros(len(k), bool)
+            code = np.empty(0, np.int32)
+        else:
+            pos = np.searchsorted(keys, k)
+            safe = np.minimum(pos, len(keys) - 1)
+            hit = keys[safe] == k
+            code = codes[safe[hit]]
+        nr = len(r_names)
+        sums = np.zeros(nr, np.int64)
+        cnts = np.zeros(nr, np.int64)
+        np.add.at(sums, code, cents[hit])
+        np.add.at(cnts, code, 1)
+        nz = np.flatnonzero(cnts)
+        return pa.table({
+            "r_name": region_arr.take(pa.array(nz, pa.int32())),
+            "n_customers": pa.array(cnts[nz], pa.int64()),
+            "sum_acctbal_cents": pa.array(sums[nz], pa.int64())})
 
     partials = ds.map_batches(join, batch_format="pyarrow")
     return (partials.groupby("r_name")
@@ -293,12 +361,22 @@ def user_top_events(sf_dir: str, k: int = 3):
                             columns=["user_id", "event_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = (df.sort_values(["user_id", "value", "event_id"],
-                             ascending=[True, False, True],
-                             kind="mergesort")
-              .groupby("user_id", sort=False).head(k))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # numpy lexsort combiner (user asc, value desc, event_id asc),
+        # then keep rank < k within each user run — no pandas round-trip.
+        if t.num_rows == 0:
+            return t
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        eid = np.asarray(t["event_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, uid))
+        u = uid[order]
+        new_run = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank = np.arange(len(u)) - starts[run_id]
+        return t.take(pa.array(order[rank < k], pa.int64()))
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=65536)
