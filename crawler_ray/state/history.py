@@ -57,7 +57,10 @@ def evict_history(ds, max_urls: int = 10000, evict_chunk: int = 100,
     """
     from ray.data.aggregate import Max
 
-    latest = ds.groupby(key).aggregate(Max(ts, alias_name=ts))
+    # materialize the aggregate output (one row per key, already an
+    # all-to-all fence) so count + sort don't each re-execute the
+    # upstream groupby over the full visit log
+    latest = ds.groupby(key).aggregate(Max(ts, alias_name=ts)).materialize()
     n = latest.count()
     keep = retained_size(n, max_urls, evict_chunk)
     return (latest
