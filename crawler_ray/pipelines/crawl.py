@@ -91,12 +91,13 @@ class CrawlConfig:
     # finalize winner map: broadcast at or under this many distinct
     # hashes, spill key-sorted to a range-partitioned store above it
     finalize_broadcast_threshold: int = 2_000_000
-    # fold waves whose frontier is at or under this many rows into a
-    # driver-side loop through the SAME stage callables and admission
-    # actors: a Ray Data execution costs ~1.5 s of fixed executor
-    # startup per wave, which tiny tail frontiers (BFS converging) pay
-    # in full while the serial work is milliseconds.  0 disables.
-    tail_fold_threshold: int = 512
+    # fold waves whose frontier is at or under this many rows into raw
+    # Ray tasks (fetch_batch_size slices) through the SAME stage
+    # callables and admission actors: a Ray Data execution costs
+    # ~1.5 s of fixed executor startup per wave, which small tail
+    # frontiers (BFS converging) pay in full while the actual work is
+    # a few hundred task-milliseconds.  0 disables.
+    tail_fold_threshold: int = 2048
     checkpoint_every: int = 5        # strict rounds between snapshots
     # internal wave-mode knobs used by the strict prefetch
     spill_links: bool = False        # also spill (url, links) side parts

@@ -65,6 +65,31 @@ CANDIDATE_SCHEMA = pa.schema([
 
 _SEED_PRIORITY = -(1 << 31)  # seeds sort before any real parent
 
+_FOLD_SLICE = None
+
+
+def _fold_slice_remote():
+    """Lazily-defined raw Ray task for the tail-wave fold: run the wave
+    stage chain over one frontier slice and propose to the admission
+    actors.  A raw task skips the ~1.5 s fixed Ray Data executor
+    startup a tiny frontier can't amortize, while slices still run in
+    parallel (the earlier driver-side loop serialized the extract
+    stage).  Propose is a commutative min-merge and the spill stage's
+    part names are content-deterministic, so slice placement, ordering
+    and task retries cannot change admissions or duplicate output."""
+    global _FOLD_SLICE
+    if _FOLD_SLICE is None:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def fold_slice(stages, pool, tbl: pa.Table) -> int:
+            for stage in stages:
+                tbl = stage(tbl)
+            return pool.propose(tbl)
+
+        _FOLD_SLICE = fold_slice
+    return _FOLD_SLICE
+
 # Bump whenever the on-disk checkpoint layout changes (snapshot file
 # names, spill part-name format, manifest keys): resume from an older
 # checkpoint fails with a clear error instead of a FileNotFoundError /
@@ -184,27 +209,19 @@ def run_wave_mode(engine, resume: bool = False) -> dict:
             # tail-wave fold: a BFS converges through tiny frontiers, and
             # each Ray Data execution pays ~1.5 s of fixed executor
             # startup regardless of size — run the SAME stage callables
-            # driver-side in fetch_batch_size slices (keeping the
-            # per-batch bucket pruning and deterministic spill names)
-            # through the SAME admission actors.  Propose is a
-            # commutative min-merge, so where the work runs cannot
-            # change admissions.
+            # as raw Ray tasks in fetch_batch_size slices (identical
+            # granularity to the Dataset path, so the per-batch bucket
+            # pruning and deterministic spill names behave the same)
+            # through the SAME admission actors (see _fold_slice_remote
+            # for the commutativity argument).
             table = pads.dataset(frontier_path,
                                  format="parquet").to_table()
-            # _FetchFn clamps the process-global arrow thread pools
-            # (right inside a Ray worker, wrong to leave behind on the
-            # DRIVER where later arrow work wants the full pools) —
-            # save and restore around the fold
-            prev_pa = (pa.cpu_count(), pa.io_thread_count())
-            try:
-                for lo in range(0, table.num_rows, cfg.fetch_batch_size):
-                    b = table.slice(lo, cfg.fetch_batch_size)
-                    for stage in stages:
-                        b = stage(b)
-                    pool.propose(b)
-            finally:
-                pa.set_cpu_count(prev_pa[0])
-                pa.set_io_thread_count(prev_pa[1])
+            fold = _fold_slice_remote()
+            stages_ref = ray.put(stages)
+            ray.get([fold.remote(stages_ref, pool_ref,
+                                 table.slice(lo, cfg.fetch_batch_size))
+                     for lo in range(0, table.num_rows,
+                                     cfg.fetch_batch_size)])
         else:
             # NOTE on task granularity: shrinking fetch_batch_size for
             # mid-size frontiers to pack the cluster better was tried
