@@ -699,16 +699,40 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
              t["similarity_hash"].to_pylist()]
         return t.append_column("merge_bucket", pa.array(b, pa.int32()))
 
-    winners_ds = (ds.map_batches(add_merge_bucket, batch_format="pyarrow")
-                  .groupby("merge_bucket")
-                  .map_groups(
-                      lambda g: decide_bucket(
-                          g.drop(columns=["merge_bucket"])),
-                      batch_format="pandas")
-                  # coerce blocks to arrow: the decide merge ran in
-                  # pandas, but the store spill needs a pa.Schema
-                  .map_batches(lambda t: t, batch_format="pyarrow")
-                  .materialize())
+    import time as _time
+    _t0 = _time.time()
+    # planner decision for the decide merge: the broadcast path below
+    # collects the winner map (one row per distinct hash) to the driver
+    # anyway, so when even the UNmerged decide input (>= winners) fits
+    # the same threshold, run one execution for trace-spill + prep,
+    # collect the small columns, and decide driver-side — the
+    # 64-bucket all-to-all shuffle's fixed cost dominates at small
+    # scale.  Row count is a metadata-only footer scan.  Above the
+    # threshold (or on an empty input) the bucketed groupby does the
+    # work and nothing lands on the driver.  Both paths run the same
+    # decide_bucket, so winners are bit-identical (pytest-pinned).
+    n_small_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    winners_ds = None
+    if n_small_rows <= winner_broadcast_threshold:
+        blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+        if blocks:
+            small_pd = pa.concat_tables(blocks).to_pandas()
+            decided = decide_bucket(small_pd)
+            winners_ds = rd.from_arrow(
+                pa.Table.from_pandas(decided, preserve_index=False))
+    if winners_ds is None:
+        winners_ds = (ds.map_batches(add_merge_bucket,
+                                     batch_format="pyarrow")
+                      .groupby("merge_bucket")
+                      .map_groups(
+                          lambda g: decide_bucket(
+                              g.drop(columns=["merge_bucket"])),
+                          batch_format="pandas")
+                      # coerce blocks to arrow: the decide merge ran in
+                      # pandas, but the store spill needs a pa.Schema
+                      .map_batches(lambda t: t, batch_format="pyarrow")
+                      .materialize())
+    _t_decide = _time.time() - _t0
     win_schema = winners_ds.schema()
     attr_cols = [c for c in win_schema.names
                  if c not in ("last_url", "winner_key")]
@@ -851,7 +875,12 @@ def finalize_content_items(extracted_dir: str, out_dir: str,
                             batch_size=4096)
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
+    _t1 = _time.time()
     items.write_parquet(out_dir)
+    if os.environ.get("GRAFT_FINALIZE_STATS"):
+        print(f"finalize: decide={_t_decide:.2f}s "
+              f"broadcast={_t1 - _t0 - _t_decide:.2f}s "
+              f"build={_time.time() - _t1:.2f}s n_winners={n_winners}")
     if winner_store_root is not None:
         shutil.rmtree(winner_store_root, ignore_errors=True)
     # invariant: each winner is built from exactly its last-visit row,
