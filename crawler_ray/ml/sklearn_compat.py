@@ -15,8 +15,9 @@ Instead ``load_sklearn_pickle`` runs a RESTRICTED unpickler:
 - ``sklearn.*`` / ``scipy.*`` classes resolve to attribute-bag stubs
   (their pickled ``__setstate__`` dicts / reduce args are captured,
   never executed),
-- ``numpy.*`` / stdlib container reconstruction is allowed (that is
-  how the weight arrays are stored),
+- the exact numpy array-reconstruction globals / stdlib container
+  names that such pickles emit are allowed (that is how the weight
+  arrays are stored),
 - anything else raises — a hostile pickle cannot import arbitrary
   modules through this loader (unlike the reference's bare
   ``pickle.load``).
@@ -50,12 +51,13 @@ __all__ = ["load_sklearn_pickle", "convert_linear_model",
            "convert_vectorizer", "import_sklearn_artifact"]
 
 _STUB_PREFIXES = ("sklearn.", "scipy.")
-# module roots whose classes/reconstructors may load for real — numpy
-# array reconstruction plus the container/codec helpers pickles of
-# numpy-bearing objects actually reference.  NOT whole stdlib modules:
-# builtins in particular holds eval/exec/__import__, so it is limited
-# to the explicit name list below.
-_ALLOWED_MODULE_ROOTS = ("numpy",)
+# exact (module, name) pairs that may load for real.  No whole module
+# roots: builtins holds eval/exec/__import__, and even numpy holds
+# file-touching callables (numpy.save / numpy.load / numpy.fromfile)
+# a hostile REDUCE opcode could invoke — only the array-reconstruction
+# globals that numpy pickles actually emit are allowed (verified by
+# capturing find_class over ndarray/scalar/dtype/structured pickles at
+# protocols 2-5; the ``_core`` spellings cover numpy >= 2 artifacts).
 _ALLOWED_GLOBALS = {
     ("builtins", n) for n in
     ("set", "frozenset", "complex", "bytearray", "range", "slice",
@@ -65,6 +67,13 @@ _ALLOWED_GLOBALS = {
     ("collections", "Counter"), ("datetime", "datetime"),
     ("datetime", "date"), ("datetime", "timedelta"),
     ("copyreg", "_reconstructor"), ("_codecs", "encode"),
+    ("numpy", "ndarray"), ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy.core.numeric", "_frombuffer"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy._core.numeric", "_frombuffer"),
 }
 
 
@@ -90,17 +99,15 @@ class _Stub:
 
 class _RestrictedUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        root = module.split(".")[0]
         if any(module == p[:-1] or module.startswith(p)
                for p in _STUB_PREFIXES):
             return type(name, (_Stub,), {"_module": module})
-        if root in _ALLOWED_MODULE_ROOTS \
-                or (module, name) in _ALLOWED_GLOBALS:
+        if (module, name) in _ALLOWED_GLOBALS:
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
             f"refusing to unpickle {module}.{name}: only numpy "
-            f"reconstruction, an explicit container/codec allowlist, "
-            f"and sklearn/scipy stubs are allowed")
+            f"array reconstruction, an explicit container/codec "
+            f"allowlist, and sklearn/scipy stubs are allowed")
 
 
 def load_sklearn_pickle(path_or_bytes) -> object:

@@ -180,6 +180,16 @@ def test_hostile_pickle_rejected():
         payload = b"cbuiltins\n" + name + b"\n."
         with pytest.raises(pickle.UnpicklingError, match="refusing"):
             load_sklearn_pickle(payload)
+    # numpy is NOT wholesale-allowed either: its file-touching
+    # callables (save/load/fromfile) must be refused even though the
+    # array-reconstruction globals next to them are allowed
+    for mod, name in ((b"numpy", b"save"), (b"numpy", b"load"),
+                      (b"numpy", b"fromfile"),
+                      (b"numpy.core.multiarray", b"fromfile"),
+                      (b"numpy.lib.npyio", b"save")):
+        payload = b"c" + mod + b"\n" + name + b"\n."
+        with pytest.raises(pickle.UnpicklingError, match="refusing"):
+            load_sklearn_pickle(payload)
 
 
 def test_encoder_order_wins_over_stored_list(tmp_path):
