@@ -96,8 +96,12 @@ class CrawlConfig:
     # callables and admission actors: a Ray Data execution costs
     # ~1.5 s of fixed executor startup per wave, which small tail
     # frontiers (BFS converging) pay in full while the actual work is
-    # a few hundred task-milliseconds.  0 disables.
-    tail_fold_threshold: int = 2048
+    # a few hundred task-milliseconds.  4096 rows is at most
+    # fetch_batch_size=256 x 16 concurrent tasks — well under one
+    # scheduling round of a 32-CPU node, where raw tasks strictly beat
+    # an executor spin-up; bigger frontiers want Ray Data's streaming
+    # and backpressure.  0 disables.
+    tail_fold_threshold: int = 4096
     checkpoint_every: int = 5        # strict rounds between snapshots
     # internal wave-mode knobs used by the strict prefetch
     spill_links: bool = False        # also spill (url, links) side parts
