@@ -237,7 +237,9 @@ def save_patterns_to_store(store, domain_id: int, name: str,
         "name": pa.array([name], pa.string()),
         "keywords_json": pa.array([blob], pa.string()),
         "auto_detected": pa.array([True], pa.bool_())})
-    return store.upsert(rd.from_arrow(row))
+    # one row: the hint routes it through the store's raw-task merge
+    # instead of a full groupby execution
+    return store.upsert(rd.from_arrow(row), rows_hint=1)
 
 
 def load_patterns_from_store(store, domain_id: int) -> dict | None:

@@ -123,12 +123,23 @@ class TableStore:
                 f"upsert schema {got} != table schema {want}")
 
     # -- mutations -------------------------------------------------------
-    def upsert(self, ds) -> dict:
+    def upsert(self, ds, rows_hint: int | None = None,
+               collect_threshold: int = 65536) -> dict:
         """Insert-or-update rows by key (incoming wins).  Incoming keys
         must be unique — the reference's bulk loop implies a processing
         order that a distributed batch has no analog for, so ambiguous
         inputs fail loudly instead of merging nondeterministically.
-        Returns {'inserted': n, 'updated': m} (S12's bulk counts)."""
+        Returns {'inserted': n, 'updated': m} (S12's bulk counts).
+
+        ``rows_hint``: caller-known upper bound on the incoming row
+        count.  At or under ``collect_threshold`` the mutation skips
+        the groupby's all-to-all (whose fixed cost dwarfs a small
+        merge — a one-row pattern-DB save otherwise pays a full
+        shuffle): the input is collected in its single execution,
+        split by partition hash, and merged by one raw Ray task per
+        touched partition — the same per-partition ``merge`` either
+        way, so results are identical (pytest-pinned).  Without a hint
+        (or above the threshold) nothing lands on the driver."""
         key_col, root = self.key_col, self.root
         part_path = self._part_path
         self._check_schema(ds.schema().base_schema)
@@ -165,6 +176,10 @@ class TableStore:
                 "inserted": pa.array([inc.num_rows - updated], pa.int64()),
                 "updated": pa.array([updated], pa.int64())})
 
+        if rows_hint is not None and rows_hint <= collect_threshold:
+            return self._collected_mutation(ds, add_part, merge,
+                                            ("inserted", "updated"))
+
         # materialize: the side-effecting merge must run EXACTLY once —
         # a lazy Dataset would re-execute per .sum() consumption (the
         # counts table is <= num_partitions rows)
@@ -175,10 +190,37 @@ class TableStore:
         return {"inserted": counts.sum("inserted") or 0,
                 "updated": counts.sum("updated") or 0}
 
-    def delete(self, keys_ds) -> int:
+    def _collected_mutation(self, ds, add_part, merge,
+                            count_cols: tuple) -> dict:
+        """Small-input mutation path: one execution collects the rows,
+        one raw Ray task per touched partition runs the SAME
+        partition-local merge the groupby path would (idempotent
+        tmp+rename rewrites, so task retries are safe)."""
+        import ray
+
+        blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+        if not blocks:
+            return {c: 0 for c in count_cols}
+        inc = add_part(pa.concat_tables(
+            [b.select(blocks[0].column_names) for b in blocks]))
+        task = ray.remote(num_cpus=0.5)(merge)
+        futs = []
+        for part in np.unique(
+                inc["_part"].to_numpy(zero_copy_only=False)):
+            futs.append(task.remote(
+                inc.filter(pc.equal(inc["_part"], int(part)))))
+        out = (pa.concat_tables(ray.get(futs)) if futs
+               else None)
+        return {c: (pc.sum(out[c]).as_py() or 0) if out is not None
+                else 0 for c in count_cols}
+
+    def delete(self, keys_ds, rows_hint: int | None = None,
+               collect_threshold: int = 65536) -> int:
         """Delete by key; ``keys_ds`` is a Dataset with the key column.
         Only the partitions that can hold the keys rewrite.  Returns the
-        number of rows actually deleted."""
+        number of rows actually deleted.  ``rows_hint``: same planner
+        decision as ``upsert`` — a small key set skips the all-to-all
+        and rewrites the touched partitions via raw Ray tasks."""
         key_col = self.key_col
         part_path = self._part_path
         part_of = self._partition_of
@@ -202,6 +244,10 @@ class TableStore:
                                row_group_size=4096)
                 os.replace(tmp, path)
             return pa.table({"deleted": pa.array([n], pa.int64())})
+
+        if rows_hint is not None and rows_hint <= collect_threshold:
+            return self._collected_mutation(keys_ds, add_part, drop_keys,
+                                            ("deleted",))["deleted"]
 
         counts = (keys_ds.map_batches(add_part, batch_format="pyarrow")
                   .groupby("_part")

@@ -119,10 +119,15 @@ def test_table_crud_join_path_equivalent(ray_session):
             == table_crud_counts(sf, broadcast_threshold=0).to_pylist())
 
 
-def test_random_crud_matches_dict_model(tmp_path, ray_session):
+@pytest.mark.parametrize("hinted", [False, True],
+                         ids=["groupby-path", "collect-path"])
+def test_random_crud_matches_dict_model(tmp_path, ray_session, hinted):
     """Model-based check: a random interleaving of upserts, deletes and
     point gets must track a plain dict exactly — contents, insert/update
-    counts, delete counts, and get results."""
+    counts, delete counts, and get results.  Runs once per mutation
+    path (``rows_hint`` routes small inputs through raw per-partition
+    tasks instead of the groupby shuffle); both must match the model —
+    and therefore each other — exactly."""
     import random
 
     import ray.data as rd
@@ -141,7 +146,8 @@ def test_random_crud_matches_dict_model(tmp_path, ray_session):
             vals = [f"s{step}-{k}" for k in keys]
             counts = store.upsert(rd.from_arrow(pa.table({
                 "k": pa.array(keys, pa.int64()),
-                "v": pa.array(vals, pa.string())})))
+                "v": pa.array(vals, pa.string())})),
+                rows_hint=len(keys) if hinted else None)
             want_updated = sum(k in model for k in keys)
             assert counts == {"inserted": len(keys) - want_updated,
                               "updated": want_updated}, step
@@ -149,7 +155,8 @@ def test_random_crud_matches_dict_model(tmp_path, ray_session):
         elif op == "delete":
             keys = rng.sample(keyspace, rng.randint(1, 10))
             n = store.delete(rd.from_arrow(pa.table({
-                "k": pa.array(keys, pa.int64())})))
+                "k": pa.array(keys, pa.int64())})),
+                rows_hint=len(keys) if hinted else None)
             want = sum(k in model for k in keys)
             assert n == want, step
             for k in keys:
