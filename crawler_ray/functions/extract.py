@@ -160,26 +160,80 @@ def extract_main_content(root: Element, job_type: str | None = None) -> str:
             if candidate is not None and len(candidate.get_text(strip=True)) > 200:
                 return candidate.get_text(separator=" ", strip=True)
 
-    scored: list[tuple[int, str]] = []
-    for candidate in root.find_all(["article", "div", "section"]):
-        text = candidate.get_text(separator=" ", strip=True)
-        score = len(text)
-        p_tags = candidate.find_all("p")
-        if p_tags and len(p_tags) > 2:
-            score += len(p_tags) * 50
-        if candidate.find_all(["h1", "h2", "h3"]):
-            score += 100
-        a_tags = candidate.find_all("a")
-        if a_tags:
-            a_text = sum(len(a.get_text(strip=True)) for a in a_tags)
-            if a_text / max(1, len(text)) > 0.5:
+    # One O(n) post-order pass replaces the reference's per-candidate
+    # subtree re-walks (get_text + three find_alls per article/div/
+    # section — O(n*depth) on nested divs).  Every scoring input is
+    # additive bottom-up:
+    #   len(get_text(" ", strip=True)) = S + max(K-1, 0) where S sums
+    #     stripped text-part lengths and K counts nonempty parts;
+    #   p-count / h1-h3 presence sum/or over children (+ self tag);
+    #   a_text = sum over descendant <a> of len(a.get_text(strip=True))
+    #     — each <a> contributes its own S, nested <a> double-count
+    #     exactly as the reference's find_all("a") loop does.
+    # Candidates are article/div/section, so their own tag never
+    # contributes, and include-self subtree stats equal the
+    # descendants-only queries the reference runs.  Only the winning
+    # text materializes; ties on score still compare the text strings
+    # descending, matching the (score, text) reverse sort.
+    stats = _subtree_content_stats(root)
+    candidates = root.find_all(["article", "div", "section"])
+    if candidates:
+        scored: list[tuple[int, Element]] = []
+        for candidate in candidates:
+            s_chars, k_parts, n_p, has_h, a_chars = stats[id(candidate)]
+            tlen = s_chars + (k_parts - 1 if k_parts > 0 else 0)
+            score = tlen
+            if n_p > 2:
+                score += n_p * 50
+            if has_h:
+                score += 100
+            if a_chars / max(1, tlen) > 0.5:
                 score -= 200
-        scored.append((score, text))
-
-    if scored:
-        scored.sort(reverse=True)
-        return scored[0][1]
+            scored.append((score, candidate))
+        best = max(s for s, _ in scored)
+        return max(c.get_text(separator=" ", strip=True)
+                   for s, c in scored if s == best)
     return root.get_text(separator=" ", strip=True)
+
+
+def _subtree_content_stats(root: Element) -> dict[int, tuple]:
+    """id(element) -> (stripped char sum, nonempty part count, p count,
+    has h1-h3, a-subtree char sum), include-self, for every element —
+    the additive scoring inputs of ``extract_main_content``."""
+    stats: dict[int, tuple] = {}
+    stack: list[tuple[Element, bool]] = [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if not done:
+            stack.append((node, True))
+            for c in node.children:
+                if isinstance(c, Element):
+                    stack.append((c, False))
+            continue
+        s_chars = k_parts = n_p = a_chars = 0
+        has_h = False
+        for c in node.children:
+            if isinstance(c, Element):
+                cs, ck, cp, ch, ca = stats[id(c)]
+                s_chars += cs
+                k_parts += ck
+                n_p += cp
+                has_h = has_h or ch
+                a_chars += ca
+            else:
+                ln = len(c.text.strip())
+                if ln:
+                    s_chars += ln
+                    k_parts += 1
+        tag = node.tag
+        if tag == "p":
+            n_p += 1
+        elif tag in ("h1", "h2", "h3"):
+            has_h = True
+        elif tag == "a":
+            a_chars += s_chars
+        stats[id(node)] = (s_chars, k_parts, n_p, has_h, a_chars)
+    return stats
 
 
 def extract_title(root: Element) -> str:

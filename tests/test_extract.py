@@ -164,3 +164,62 @@ def test_ner_actor_stage_plumbing(ray_session):
     ents = [json.loads(e) for e in out["entities_json"]]
     assert ents[0] == {"FAKE_PROPN": ["Alice", "Bob", "Tehran"]}
     assert ents[1] == {} and ents[2] == {}
+
+
+def test_main_content_matches_literal_reference_loop():
+    """The O(n) aggregated scoring must equal a literal replay of the
+    reference's per-candidate loop (get_text + three find_alls per
+    article/div/section, (score, text) reverse sort) on random trees,
+    including headings, heavy link ratios and deep nesting."""
+    import random
+
+    def literal(root):
+        scored = []
+        for candidate in root.find_all(["article", "div", "section"]):
+            text = candidate.get_text(separator=" ", strip=True)
+            score = len(text)
+            p_tags = candidate.find_all("p")
+            if p_tags and len(p_tags) > 2:
+                score += len(p_tags) * 50
+            if candidate.find_all(["h1", "h2", "h3"]):
+                score += 100
+            a_tags = candidate.find_all("a")
+            if a_tags:
+                a_text = sum(len(a.get_text(strip=True)) for a in a_tags)
+                if a_text / max(1, len(text)) > 0.5:
+                    score -= 200
+            scored.append((score, text))
+        if scored:
+            scored.sort(reverse=True)
+            return scored[0][1]
+        return root.get_text(separator=" ", strip=True)
+
+    rng = random.Random(77)
+    tags = ["div", "p", "span", "a", "article", "section",
+            "h1", "h2", "h3", "ul"]
+
+    def gen(depth):
+        n = rng.randint(1, 4 if depth < 3 else 1)
+        out = []
+        for _ in range(n):
+            if depth >= 5 or rng.random() < 0.35:
+                out.append(rng.choice(["text", " ", "", "x y  z",
+                                       f"w{rng.randint(0, 9)}"]))
+                continue
+            tag = rng.choice(tags)
+            attr = ' href="/x"' if tag == "a" and rng.random() < 0.5 else ""
+            out.append(f"<{tag}{attr}>")
+            out.extend(gen(depth + 1))
+            out.append(f"</{tag}>")
+        return out
+
+    for trial in range(300):
+        root = parse_html("".join(gen(0)))
+        assert extract_main_content(root) == literal(root), trial
+    # degenerate shapes
+    for html in ("", "<div></div>", "<p>only p</p>",
+                 "<div><a href='/x'>all link text here</a></div>",
+                 "<article><h1>h</h1><p>a</p><p>b</p><p>c</p></article>",
+                 "<div><div><div>nested</div></div></div>"):
+        root = parse_html(html)
+        assert extract_main_content(root) == literal(root), html
