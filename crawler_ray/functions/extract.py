@@ -263,16 +263,19 @@ def extract_date(root: Element) -> str:
     for tag in root.find_all("time"):
         if tag.has_attr("datetime"):
             return tag["datetime"].strip()
-        if tag.get_text(strip=True):
-            return tag.get_text(strip=True)
+        txt = tag.get_text(strip=True)
+        if txt:
+            return txt
     for tag_name, attrs in _DATE_META_TAGS:
         tag = root.find(tag_name, attrs=attrs)
         if tag is not None and tag.get("content"):
             return tag["content"].strip()
     for cls_re in _DATE_CLASS_RES:
         el = root.find(class_=cls_re)
-        if el is not None and el.get_text(strip=True):
-            return el.get_text(strip=True)
+        if el is not None:
+            txt = el.get_text(strip=True)
+            if txt:
+                return txt
     html_text = root.get_text()
     for pattern in _DATE_TEXT_RES:
         match = pattern.search(html_text)
@@ -288,8 +291,10 @@ def extract_author(root: Element) -> str:
         return meta["content"].strip()
     for cls_re in _AUTHOR_CLASS_RES:
         el = root.find(class_=cls_re)
-        if el is not None and el.get_text(strip=True):
-            return _AUTHOR_PREFIX_RE.sub("", el.get_text(strip=True))
+        if el is not None:
+            txt = el.get_text(strip=True)
+            if txt:
+                return _AUTHOR_PREFIX_RE.sub("", txt)
     html_text = root.get_text()
     for pattern in _AUTHOR_TEXT_RES:
         match = pattern.search(html_text)

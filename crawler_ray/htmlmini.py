@@ -334,13 +334,35 @@ class Element:
         return f"<{self.tag} {self.attrs}>"
 
 
+_VALUE_MATCH_MEMO: dict = {}
+
+
 def _value_matches(value: Optional[str], matcher: ClassFilter,
                    split_tokens: bool) -> bool:
     """Match one attribute value against a string / regex / callable filter.
 
     For multi-valued attributes (class) the filter is tried against each
     whitespace token and against the full attribute string, mirroring bs4.
-    """
+
+    Regex filters memoize per (pattern, value): template pages repeat
+    the same class strings across thousands of elements, so the regex
+    runs once per distinct string instead of once per element.  Pure
+    function of its key (patterns and strings are immutable); the memo
+    is bounded and process-local (Ray workers each build their own)."""
+    if isinstance(matcher, re.Pattern) and value is not None:
+        key = (matcher, split_tokens, value)
+        hit = _VALUE_MATCH_MEMO.get(key)
+        if hit is None:
+            hit = _value_matches_impl(value, matcher, split_tokens)
+            if len(_VALUE_MATCH_MEMO) > 200_000:
+                _VALUE_MATCH_MEMO.clear()
+            _VALUE_MATCH_MEMO[key] = hit
+        return hit
+    return _value_matches_impl(value, matcher, split_tokens)
+
+
+def _value_matches_impl(value: Optional[str], matcher: ClassFilter,
+                        split_tokens: bool) -> bool:
     candidates: list[Optional[str]]
     if value is None:
         candidates = [None]
