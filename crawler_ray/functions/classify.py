@@ -144,18 +144,22 @@ _TYPE_SINGLE, _TYPE_MULTI = _build_fast(CONTENT_TYPE_KEYWORDS)
 
 
 def _keyword_scores(text: str, names, single, multi, sizes,
-                    tokens=None) -> dict[str, float]:
+                    tokens=None, token_counts=None) -> dict[str, float]:
     """Per-set normalized frequency + row normalization
     (``ml/features.py:400-422``).  Counts are identical to per-keyword
     ``\\b``-bounded findall (see ``_build_fast``).  Token counting goes
     through a ``Counter`` so the per-token work is per-DISTINCT-token
-    (prose repeats words heavily; the C-level Counter does the tally)."""
+    (prose repeats words heavily; the C-level Counter does the tally).
+    ``token_counts``: precomputed lowercased-token Counter when the
+    caller scores several keyword families over the same text (the
+    tally is family-independent, so sharing it is exact)."""
     from collections import Counter
 
     counts = dict.fromkeys(names, 0)
-    if tokens is None:
-        tokens = _WORD_RUN.findall(text)
-    token_counts = Counter(map(str.lower, tokens))
+    if token_counts is None:
+        if tokens is None:
+            tokens = _WORD_RUN.findall(text)
+        token_counts = Counter(map(str.lower, tokens))
     for low, c in token_counts.items():
         hit = single.get(low)
         if hit:
@@ -207,15 +211,19 @@ def classify_text(text: str, normalized: str | None = None) -> dict:
     result is byte-identical; the extract stage shares one normalization
     between classification and the similarity hash)."""
     if text:
+        from collections import Counter
+
         normed = (normalized if normalized is not None
                   else normalize_persian_text(text))
         tokens = _WORD_RUN.findall(normed)
+        # tally once, score both families against the shared Counter
+        token_counts = Counter(map(str.lower, tokens))
         ct_scores = _keyword_scores(normed, CONTENT_TYPE_KEYWORDS,
                                     _TYPE_SINGLE, _TYPE_MULTI,
-                                    _TYPE_SIZES, tokens=tokens)
+                                    _TYPE_SIZES, token_counts=token_counts)
         d_scores = _keyword_scores(normed, LEGAL_DOMAINS_KEYWORDS,
                                    _DOMAIN_SINGLE, _DOMAIN_MULTI,
-                                   _DOMAIN_SIZES, tokens=tokens)
+                                   _DOMAIN_SIZES, token_counts=token_counts)
     else:
         ct_scores = {k: 0.0 for k in CONTENT_TYPE_KEYWORDS}
         d_scores = {k: 0.0 for k in LEGAL_DOMAINS_KEYWORDS}

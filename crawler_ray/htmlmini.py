@@ -501,11 +501,16 @@ class _TreeBuilder(HTMLParser):
 # generated corpus and an adversarial fuzz set.
 # ---------------------------------------------------------------------------
 
+# stdlib ``starttagopen`` is ``<[a-zA-Z]``; a set lookup on the single
+# already-sliced char replaces a C regex call per '<' occurrence
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
 def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
     from html import unescape
     from html.parser import (attrfind_tolerant, commentclose, endtagfind,
-                             locatestarttagend_tolerant, piclose,
-                             starttagopen, tagfind_tolerant)
+                             locatestarttagend_tolerant, tagfind_tolerant)
 
     n = len(rawdata)
     i = 0
@@ -580,7 +585,7 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
             cdata_elem = None
             i = gtpos
             continue
-        if starttagopen.match(rawdata, i):  # < + letter
+        if c in _ASCII_LETTERS:  # < + letter (stdlib starttagopen)
             m = locatestarttagend_tolerant.match(rawdata, i)
             j = m.end()
             nxt = rawdata[j:j + 1]
@@ -644,11 +649,11 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
                                              re.IGNORECASE)
             i = endpos
         elif c == "/":  # end tag
-            gtm = piclose.search(rawdata, i + 1)
-            if gtm is None:
+            gt = find(">", i + 1)  # stdlib piclose is a literal '>'
+            if gt < 0:
                 i = recover(i)
                 continue
-            gtpos = gtm.end()
+            gtpos = gt + 1
             m = endtagfind.match(rawdata, i)
             if m is not None:
                 handle_endtag(m.group(1).lower())
@@ -668,8 +673,8 @@ def _fast_feed(builder: "_TreeBuilder", rawdata: str) -> None:
             m = commentclose.search(rawdata, i + 4)
             i = recover(i) if m is None else m.end()
         elif c == "?":
-            m = piclose.search(rawdata, i + 2)
-            i = recover(i) if m is None else m.end()
+            gt = find(">", i + 2)  # stdlib piclose is a literal '>'
+            i = recover(i) if gt < 0 else gt + 1
         elif c == "!":
             if rawdata[i:i + 9].lower() == "<!doctype":
                 gtpos = find(">", i + 9)
