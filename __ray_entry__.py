@@ -192,6 +192,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and quality pytest-pinned in tests/test_ml_training.py
         "classify_docs_model": textstats.classify_docs_model,
         "curate_corpus": textstats.curate_corpus,
+        # PII redaction / repetition quality / corpus bigrams — the
+        # standard curation passes of a training-data pipeline, all
+        # with literal SQL replays
+        "pii_scrub": textstats.pii_scrub,
+        "repetition_stats": textstats.repetition_stats,
+        "top_bigrams": textstats.top_bigrams,
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
@@ -755,6 +761,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
                        AS n_tokens
             FROM documents
+        """,
+        # literal replay of ops/textstats.py:pii_scrub — same RE2
+        # patterns, same fixed scrub order, counts on the original text
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '\+?\d[\d\-\s]{7,}\d')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                        '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                        '\+?\d[\d\-\s]{7,}\d', '<PHONE>', 'g'),
+                        '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+                       AS text_scrubbed
+            FROM documents
+        """,
+        # single-space split, empties dropped — the exact token list of
+        # ops/textstats.py:repetition_stats; integer milli-scaling makes
+        # the ratios hash-exact
+        "repetition_stats": """
+            WITH tok AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+                WHERE w <> ''
+            ), cnt AS (
+                SELECT doc_id, w, count(*) AS c
+                FROM tok GROUP BY doc_id, w
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST((1000 * max(c)) // sum(c) AS BIGINT)
+                       AS top_share_milli,
+                   CAST((1000 * (sum(c) - count(*))) // sum(c) AS BIGINT)
+                       AS dup_frac_milli
+            FROM cnt GROUP BY doc_id
+        """,
+        "top_bigrams": """
+            WITH lists AS (
+                SELECT list_filter(string_split(text, ' '),
+                                   w -> w <> '') AS l
+                FROM documents
+            ), bg AS (
+                SELECT unnest(list_transform(range(2, len(l) + 1),
+                              i -> l[i-1] || ' ' || l[i])) AS bigram
+                FROM lists
+            )
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 50
         """,
         "lang_id": """
             SELECT doc_id,

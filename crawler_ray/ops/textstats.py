@@ -16,7 +16,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["token_counts", "lang_id", "text_quality", "fingerprints",
-           "classify_docs", "classify_docs_model", "curate_corpus"]
+           "classify_docs", "classify_docs_model", "curate_corpus",
+           "pii_scrub", "repetition_stats", "top_bigrams"]
 
 _TOKEN_RE = re.compile(r"\S+")
 _ARABIC_RE = re.compile("[؀-ۿ]")
@@ -338,3 +339,130 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
         return finish(t, t["keep_id"].to_numpy(zero_copy_only=False))
 
     return joined.map_batches(verdict_joined, batch_format="pyarrow")
+
+
+# -- PII scrubbing -----------------------------------------------------------
+# Patterns restricted to syntax RE2 evaluates identically in Arrow
+# (replace/count_substring_regex) and DuckDB (regexp_replace/extract_all):
+# no backreferences, no lookaround.  Scrub order is fixed (email, phone,
+# ipv4) and counts are taken on the ORIGINAL text, so the SQL twin is a
+# literal replay.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d\-\s]{7,}\d", "<PHONE>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(sf_dir: str):
+    """PII redaction over the documents table — the standard
+    training-data scrub pass (emails, phone runs, IPv4 literals
+    rewritten to typed placeholder tokens).  Output (doc_id, n_email,
+    n_phone, n_ipv4, text_scrubbed).
+
+    Entirely Arrow compute kernels (RE2) per batch — zero Python in the
+    hot path, so the stage runs at C++ scan speed and streams at any
+    corpus size.  SQL twin: the same three RE2 patterns through DuckDB's
+    regexp_extract_all/regexp_replace."""
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        cols = {"doc_id": t["doc_id"]}
+        scrubbed = text
+        for name, pat, repl in _PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64())
+            scrubbed = pc.replace_substring_regex(scrubbed, pat, repl)
+        cols["text_scrubbed"] = scrubbed
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition signals: per document,
+    total / distinct word counts, the most-frequent word's share and the
+    duplicate-word fraction (both integer-scaled to milli-units so the
+    SQL twin is bit-exact).  Tokens are the non-empty runs of a
+    single-space split — the same list DuckDB's ``string_split`` yields —
+    and documents with zero tokens are dropped (mirroring the SQL
+    unnest+group shape).  Output (doc_id, n_words, n_distinct,
+    top_share_milli, dup_frac_milli).
+
+    Vectorized: one Arrow split per batch, numpy repeat for the
+    doc-index spine, one pandas composite groupby for the tallies —
+    per-batch work is C loops over the flattened token stream."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t["doc_id"].to_numpy(), lens)
+        mask = flat != ""
+        df = pd.DataFrame({"d": doc_ids[mask], "w": flat[mask]})
+        per_pair = df.groupby(["d", "w"], sort=False).size()
+        by_doc = per_pair.groupby(level=0, sort=True)
+        total = by_doc.sum().to_numpy()
+        distinct = by_doc.size().to_numpy()
+        top = by_doc.max().to_numpy()
+        ids = by_doc.sum().index.to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(total, pa.int64()),
+            "n_distinct": pa.array(distinct, pa.int64()),
+            "top_share_milli": pa.array(1000 * top // total, pa.int64()),
+            "dup_frac_milli": pa.array(
+                1000 * (total - distinct) // total, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def top_bigrams(sf_dir: str, k: int = 50):
+    """Corpus-wide top-k word bigrams — the canonical
+    pre-aggregate-before-shuffle pattern: each batch tallies its own
+    bigram counts (a pandas value_counts over the flattened token
+    stream), so only (bigram, partial_count) rows — bounded by distinct
+    bigrams per batch, not corpus size — reach the global groupby.  The
+    final sort+limit runs on the already-tiny aggregate.  Ties break by
+    bigram ascending so the result is deterministic.  Output (bigram, n),
+    n descending."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        mask = flat != ""
+        flat, doc_idx = flat[mask], doc_idx[mask]
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        bg = (pd.Series(flat[:-1][same_doc]) + " "
+              + pd.Series(flat[1:][same_doc]))
+        vc = bg.value_counts(sort=False)
+        return pa.table({"bigram": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bigram").sum("n"))
+    # rename sum(n) -> n and take the deterministic top-k
+    agg = agg.map_batches(
+        lambda t: pa.table({"bigram": t["bigram"], "n": t["sum(n)"]}),
+        batch_format="pyarrow")
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)

@@ -1,0 +1,94 @@
+"""Unit tests for the curation passes added for training-data pipelines:
+PII scrubbing, repetition stats, corpus bigrams (``ops/textstats.py``).
+
+The synthetic documents tables contain no PII and no punctuation, so the
+sf0.001 oracle parity in test_ops_oracle only proves the zero case —
+these tests plant real fixtures and pin the interesting branches."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crawler_ray.ops import textstats  # noqa: E402
+
+
+@pytest.fixture()
+def planted_sf(tmp_path):
+    """A documents.parquet with planted PII / repetition shapes."""
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "contact bob.smith+spam@mail.example.org or "
+            "alice@sub.domain.io today",
+            "call +98 21 1234-5678 or 09123456789 now; server at "
+            "10.0.0.1 and 192.168.100.200",
+            "a a a a b",             # top word 4/5, dup frac 3/5
+            "x  y",                  # double space -> empty token dropped
+            "",                      # zero tokens -> dropped from stats
+        ], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_pii_scrub_planted(ray_session, planted_sf):
+    out = {r["doc_id"]: r
+           for r in textstats.pii_scrub(planted_sf).take_all()}
+    assert out[0]["n_email"] == 2
+    assert out[0]["text_scrubbed"] == "contact <EMAIL> or <EMAIL> today"
+    assert out[1]["n_email"] == 0
+    assert out[1]["n_phone"] == 2
+    assert out[1]["n_ipv4"] == 2
+    assert "<PHONE>" in out[1]["text_scrubbed"]
+    assert "<IP>" in out[1]["text_scrubbed"]
+    assert "10.0.0.1" not in out[1]["text_scrubbed"]
+    # clean doc passes through untouched
+    assert out[2]["text_scrubbed"] == "a a a a b"
+    assert out[4]["text_scrubbed"] == ""
+
+
+def test_repetition_stats_planted(ray_session, planted_sf):
+    out = {r["doc_id"]: r
+           for r in textstats.repetition_stats(planted_sf).take_all()}
+    r = out[2]  # "a a a a b"
+    assert (r["n_words"], r["n_distinct"]) == (5, 2)
+    assert r["top_share_milli"] == 800      # floor(1000*4/5)
+    assert r["dup_frac_milli"] == 600       # floor(1000*3/5)
+    r = out[3]  # "x  y": the empty token between the spaces is dropped
+    assert (r["n_words"], r["n_distinct"]) == (2, 2)
+    assert r["top_share_milli"] == 500
+    assert r["dup_frac_milli"] == 0
+    assert 4 not in out  # zero-token doc dropped (matches the SQL shape)
+
+
+def test_top_bigrams_planted(ray_session, planted_sf):
+    got = textstats.top_bigrams(planted_sf, k=3).take_all()
+    # doc2 "a a a a b" -> 'a a' x3 dominates; every other bigram occurs
+    # once, and the n=1 ties break by bigram ascending ('+98 21' first)
+    assert (got[0]["bigram"], got[0]["n"]) == ("a a", 3)
+    assert [r["n"] for r in got[1:]] == [1, 1]
+    assert got[1]["bigram"] == "+98 21"
+    assert got[1]["bigram"] < got[2]["bigram"]
+    # doc3 "x  y": the empty token is dropped, so the bigram bridges the
+    # double space
+    all_rows = textstats.top_bigrams(planted_sf, k=100).take_all()
+    assert ("x y", 1) in [(r["bigram"], r["n"]) for r in all_rows]
+
+
+def test_top_bigrams_no_cross_doc(ray_session, tmp_path):
+    """Bigrams never bridge document boundaries."""
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["p q", "q p"], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = textstats.top_bigrams(str(tmp_path), k=10).take_all()
+    assert sorted((r["bigram"], r["n"]) for r in got) == [
+        ("p q", 1), ("q p", 1)]
