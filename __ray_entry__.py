@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textstats.pii_scrub,
         "repetition_stats": textstats.repetition_stats,
         "top_bigrams": textstats.top_bigrams,
+        "dataset_split": textstats.dataset_split,
+        "chunk_documents": textstats.chunk_documents,
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
@@ -802,6 +804,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000 * (sum(c) - count(*))) // sum(c) AS BIGINT)
                        AS dup_frac_milli
             FROM cnt GROUP BY doc_id
+        """,
+        # literal replay of ops/textstats.py:dataset_split — md5 of the
+        # decimal doc_id string, first 8 hex chars as an integer bucket
+        "dataset_split": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 100 THEN 'test'
+                        WHEN bucket < 200 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT % 1000
+                            AS BIGINT) AS bucket
+                FROM documents)
+        """,
+        # same non-empty single-space token list as repetition_stats;
+        # DuckDB list slices are 1-based inclusive
+        "chunk_documents": """
+            WITH lists AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   w -> w <> '') AS l
+                FROM documents
+            ), c AS (
+                SELECT doc_id, len(l) AS n, l FROM lists WHERE len(l) > 0
+            )
+            SELECT doc_id,
+                   CAST(i - 1 AS BIGINT) AS chunk_idx,
+                   CAST(least(32, n - (i - 1) * 32) AS BIGINT) AS n_tokens,
+                   array_to_string(l[(i - 1) * 32 + 1 : least(i * 32, n)],
+                                   ' ') AS chunk_text
+            FROM c, unnest(range(1, (n + 31) // 32 + 1)) AS t(i)
         """,
         "top_bigrams": """
             WITH lists AS (

@@ -17,7 +17,8 @@ import pyarrow as pa
 
 __all__ = ["token_counts", "lang_id", "text_quality", "fingerprints",
            "classify_docs", "classify_docs_model", "curate_corpus",
-           "pii_scrub", "repetition_stats", "top_bigrams"]
+           "pii_scrub", "repetition_stats", "top_bigrams",
+           "dataset_split", "chunk_documents"]
 
 _TOKEN_RE = re.compile(r"\S+")
 _ARABIC_RE = re.compile("[؀-ۿ]")
@@ -466,3 +467,86 @@ def top_bigrams(sf_dir: str, k: int = 50):
         lambda t: pa.table({"bigram": t["bigram"], "n": t["sum(n)"]}),
         batch_format="pyarrow")
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def dataset_split(sf_dir: str, test_permille: int = 100,
+                  val_permille: int = 100):
+    """Deterministic train/val/test assignment — the standard
+    hash-bucket split of a training corpus: bucket = first 8 hex chars
+    of md5(doc_id as decimal string) mod 1000, then test / val / train
+    by permille thresholds (test first, then val — fixed rule order).
+    Output (doc_id, bucket, split).
+
+    Content-independent and stable under repartitioning or resharding
+    (the hash keys on doc_id alone), so reruns and incremental appends
+    land every document in the same split.  SQL twin: DuckDB md5 over
+    the same decimal string."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    t_cut = test_permille
+    v_cut = test_permille + val_permille
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+             for i in ids), dtype=np.int64, count=len(ids))
+        split = np.where(buckets < t_cut, "test",
+                         np.where(buckets < v_cut, "val", "train"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "bucket": pa.array(buckets, pa.int64()),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = 32):
+    """Fixed-size token chunking — each document's token stream (the
+    same non-empty single-space split as ``repetition_stats``) cut into
+    consecutive ``chunk_tokens``-token windows, the training-data
+    pre-tokenization pass.  Row-expanding output (doc_id, chunk_idx,
+    n_tokens, chunk_text); zero-token documents vanish.
+
+    Vectorized: one Arrow split per batch, numpy integer math for the
+    per-token (doc, chunk) assignment, one pandas groupby join to
+    reassemble chunk text — no per-row Python in the scan."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t["doc_id"].to_numpy(), lens)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        mask = flat != ""
+        flat, doc_ids, row_idx = flat[mask], doc_ids[mask], row_idx[mask]
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        # position of each surviving token within its document
+        starts = np.flatnonzero(np.diff(row_idx, prepend=-1))
+        pos = np.arange(len(flat)) - np.repeat(starts, np.diff(
+            np.append(starts, len(flat))))
+        chunk_idx = pos // chunk_tokens
+        df = pd.DataFrame({"doc_id": doc_ids, "chunk_idx": chunk_idx,
+                           "w": flat})
+        g = df.groupby(["doc_id", "chunk_idx"], sort=True)
+        joined = g["w"].agg(" ".join)
+        counts = g.size()
+        idx = joined.index
+        return pa.table({
+            "doc_id": pa.array(idx.get_level_values(0).to_numpy(),
+                               pa.int64()),
+            "chunk_idx": pa.array(idx.get_level_values(1).to_numpy(),
+                                  pa.int64()),
+            "n_tokens": pa.array(counts.to_numpy(), pa.int64()),
+            "chunk_text": pa.array(joined.to_numpy(), pa.string()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -92,3 +92,55 @@ def test_top_bigrams_no_cross_doc(ray_session, tmp_path):
     got = textstats.top_bigrams(str(tmp_path), k=10).take_all()
     assert sorted((r["bigram"], r["n"]) for r in got) == [
         ("p q", 1), ("q p", 1)]
+
+
+def test_dataset_split_deterministic(ray_session, planted_sf):
+    import hashlib
+
+    a = sorted(textstats.dataset_split(planted_sf).take_all(),
+               key=lambda r: r["doc_id"])
+    b = sorted(textstats.dataset_split(planted_sf).take_all(),
+               key=lambda r: r["doc_id"])
+    assert a == b  # content-independent, rerun-stable
+    for r in a:
+        want = int(hashlib.md5(str(r["doc_id"]).encode())
+                   .hexdigest()[:8], 16) % 1000
+        assert r["bucket"] == want
+        assert r["split"] == ("test" if want < 100
+                              else "val" if want < 200 else "train")
+
+
+def test_dataset_split_thresholds(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({"doc_id": pa.array(list(range(200)), pa.int64()),
+                     "text": pa.array(["x"] * 200, pa.string())})
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    # widening val to 1000 permille absorbs everything not in test
+    out = textstats.dataset_split(str(tmp_path), test_permille=0,
+                                  val_permille=1000).take_all()
+    assert {r["split"] for r in out} == {"val"}
+
+
+def test_chunk_documents_boundaries(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": pa.array([7, 8, 9], pa.int64()),
+        "text": pa.array([
+            "a b c d e f g",   # 7 tokens, k=3 -> chunks 3/3/1
+            "x  y",            # empty token dropped -> one 2-token chunk
+            "",                # dropped entirely
+        ], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    rows = sorted(((r["doc_id"], r["chunk_idx"], r["n_tokens"],
+                    r["chunk_text"])
+                   for r in textstats.chunk_documents(
+                       str(tmp_path), chunk_tokens=3).take_all()))
+    assert rows == [
+        (7, 0, 3, "a b c"), (7, 1, 3, "d e f"), (7, 2, 1, "g"),
+        (8, 0, 2, "x y"),
+    ]
