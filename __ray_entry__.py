@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": textstats.top_bigrams,
         "dataset_split": textstats.dataset_split,
         "chunk_documents": textstats.chunk_documents,
+        "pack_manifest": textstats.pack_manifest,
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
@@ -818,6 +819,31 @@ def oracle_sql() -> dict[str, str]:
                                             1, 8))::BIGINT % 1000
                             AS BIGINT) AS bucket
                 FROM documents)
+        """,
+        # concat-then-split packing manifest: the window-function prefix
+        # sum is the SQL statement of the engine's two-level distributed
+        # cumsum (bucket totals + within-bucket cumsum)
+        "pack_manifest": """
+            WITH counts AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            w -> w <> '')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), offs AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                           AS tok_offset
+                FROM counts
+            )
+            SELECT doc_id, n_tokens, tok_offset,
+                   tok_offset // 64 AS first_seq,
+                   (tok_offset + greatest(n_tokens - 1, 0)) // 64
+                       AS last_seq
+            FROM offs
         """,
         # same non-empty single-space token list as repetition_stats;
         # DuckDB list slices are 1-based inclusive

@@ -18,7 +18,7 @@ import pyarrow as pa
 __all__ = ["token_counts", "lang_id", "text_quality", "fingerprints",
            "classify_docs", "classify_docs_model", "curate_corpus",
            "pii_scrub", "repetition_stats", "top_bigrams",
-           "dataset_split", "chunk_documents"]
+           "dataset_split", "chunk_documents", "pack_manifest"]
 
 _TOKEN_RE = re.compile(r"\S+")
 _ARABIC_RE = re.compile("[؀-ۿ]")
@@ -550,3 +550,74 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 32):
         })
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def pack_manifest(sf_dir: str, seq_tokens: int = 64,
+                  bucket_size: int = 4096):
+    """Sequence-packing manifest — the concat-then-split packing of a
+    training corpus: documents are laid end-to-end in doc_id order and
+    cut into ``seq_tokens``-token training sequences; each document's
+    row records where its tokens land.  Output (doc_id, n_tokens,
+    tok_offset, first_seq, last_seq) with tok_offset the document's
+    global token start, and first/last_seq = the sequence indexes of its
+    first and last token (zero-token documents carry first_seq =
+    last_seq = the sequence their offset falls in).
+
+    The global prefix sum is computed in two levels so no driver-side
+    per-document state exists: (1) per-doc token counts aggregate into
+    doc_id-range buckets (``bucket_size`` docs per bucket — the groupby
+    key), (2) the driver cumsums only the bucket totals (corpus_size /
+    bucket_size rows) and broadcasts them, (3) each bucket's documents
+    get their within-bucket cumsum in one ``map_groups`` task.  SQL
+    twin: ``SUM(...) OVER (ORDER BY doc_id)``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words)
+        nonempty = pc.cast(pc.not_equal(flat, ""), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # per-doc count of non-empty tokens: segment-sum of the mask
+        csum = np.concatenate([[0], np.cumsum(nonempty)])
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        n = csum[bounds[1:]] - csum[bounds[:-1]]
+        ids = t["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "bucket": pa.array(ids // bucket_size,
+                                            pa.int64())})
+
+    counts = ds.map_batches(count_tokens,
+                            batch_format="pyarrow").materialize()
+    # level 1: bucket totals (one row per bucket_size docs) -> driver
+    totals = counts.groupby("bucket").sum("n_tokens").to_pandas()
+    totals = totals.sort_values("bucket").reset_index(drop=True)
+    starts = np.concatenate(
+        [[0], np.cumsum(totals["sum(n_tokens)"].to_numpy())[:-1]])
+    bucket_offset = dict(zip(totals["bucket"].to_numpy(), starts))
+    off_ref = ray.put(bucket_offset)
+
+    # level 2: within-bucket cumsum, offset by the bucket's global start
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[df["bucket"].iloc[0]]
+        df = df.sort_values("doc_id")
+        n = df["n_tokens"].to_numpy()
+        tok_offset = off + np.concatenate([[0], np.cumsum(n)[:-1]])
+        first_seq = tok_offset // seq_tokens
+        last_tok = tok_offset + np.maximum(n - 1, 0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "tok_offset": tok_offset,
+            "first_seq": first_seq,
+            "last_seq": last_tok // seq_tokens,
+        })
+
+    return counts.groupby("bucket").map_groups(finish,
+                                               batch_format="pandas")

@@ -144,3 +144,30 @@ def test_chunk_documents_boundaries(ray_session, tmp_path):
         (7, 0, 3, "a b c"), (7, 1, 3, "d e f"), (7, 2, 1, "g"),
         (8, 0, 2, "x y"),
     ]
+
+
+def test_pack_manifest_two_level_cumsum(ray_session, tmp_path):
+    """bucket_size=2 forces the distributed two-level prefix sum across
+    several buckets; results must equal the serial concat-then-split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["a b c", "d e", "", "f g h i", "j", "k l m"]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in textstats.pack_manifest(
+        str(tmp_path), seq_tokens=4, bucket_size=2).take_all()}
+    # serial oracle
+    off = 0
+    for i, s in enumerate(texts):
+        n = len([w for w in s.split(" ") if w])
+        r = got[i]
+        assert (r["n_tokens"], r["tok_offset"]) == (n, off)
+        assert r["first_seq"] == off // 4
+        assert r["last_seq"] == (off + max(n - 1, 0)) // 4
+        off += n
+    # doc 3 ("f g h i", offset 5) straddles sequences 1 and 2
+    assert (got[3]["first_seq"], got[3]["last_seq"]) == (1, 2)
