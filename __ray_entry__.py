@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": textstats.dataset_split,
         "chunk_documents": textstats.chunk_documents,
         "pack_manifest": textstats.pack_manifest,
+        "contamination_check": textstats.contamination_check,
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
@@ -819,6 +820,39 @@ def oracle_sql() -> dict[str, str]:
                                             1, 8))::BIGINT % 1000
                             AS BIGINT) AS bucket
                 FROM documents)
+        """,
+        # decontamination: distinct train-doc 3-grams against the test
+        # split's gram set (splits from the dataset_split hash rule)
+        "contamination_check": """
+            WITH buckets AS (
+                SELECT doc_id, text,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT % 1000
+                            AS BIGINT) AS bucket
+                FROM documents
+            ), lists AS (
+                SELECT doc_id, bucket,
+                       list_filter(string_split(text, ' '),
+                                   w -> w <> '') AS l
+                FROM buckets
+            ), grams AS (
+                SELECT doc_id, bucket,
+                       unnest(list_transform(range(3, len(l) + 1),
+                              i -> l[i-2] || ' ' || l[i-1] || ' ' || l[i]))
+                           AS g
+                FROM lists
+            ), dg AS (
+                SELECT DISTINCT doc_id, bucket, g FROM grams
+            ), bench AS (
+                SELECT DISTINCT g FROM dg WHERE bucket < 100
+            ), train AS (
+                SELECT doc_id, g FROM dg WHERE bucket >= 200
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(b.g) AS BIGINT) AS n_contaminated
+            FROM train t LEFT JOIN bench b ON t.g = b.g
+            GROUP BY t.doc_id
         """,
         # concat-then-split packing manifest: the window-function prefix
         # sum is the SQL statement of the engine's two-level distributed

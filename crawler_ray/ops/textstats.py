@@ -18,7 +18,8 @@ import pyarrow as pa
 __all__ = ["token_counts", "lang_id", "text_quality", "fingerprints",
            "classify_docs", "classify_docs_model", "curate_corpus",
            "pii_scrub", "repetition_stats", "top_bigrams",
-           "dataset_split", "chunk_documents", "pack_manifest"]
+           "dataset_split", "chunk_documents", "pack_manifest",
+           "contamination_check"]
 
 _TOKEN_RE = re.compile(r"\S+")
 _ARABIC_RE = re.compile("[؀-ۿ]")
@@ -621,3 +622,134 @@ def pack_manifest(sf_dir: str, seq_tokens: int = 64,
 
     return counts.groupby("bucket").map_groups(finish,
                                                batch_format="pandas")
+
+
+def contamination_check(sf_dir: str, n: int = 3,
+                        broadcast_threshold: int = 2_000_000,
+                        join_partitions: int | None = None):
+    """Benchmark decontamination — for every train-split document, how
+    many of its distinct word ``n``-grams also occur anywhere in the
+    test split (the held-out set a real pipeline must not leak).  Splits
+    come from ``dataset_split``'s content-independent hash rule, derived
+    in-map with no shuffle.  Output (doc_id, n_grams, n_contaminated)
+    for train documents with at least one ``n``-gram.
+
+    Scale shape: the test-side gram set is deduplicated distributedly
+    (``groupby`` on the gram), then the usual planner decision — at or
+    under ``broadcast_threshold`` distinct grams it ships once via
+    ``ray.put`` as a frozenset and the train scan counts membership
+    in-map; above it the train (doc_id, gram) rows inner-join the gram
+    set so neither side lands on the driver
+    (``broadcast_threshold=0`` forces the join path; pytest pins the
+    two paths identical)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from crawler_ray.ops.dedup import _join_partitions, _join_ready
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def _split_mask(ids) -> np.ndarray:
+        b = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+             for i in ids), dtype=np.int64, count=len(ids))
+        return b  # bucket; test < 100, train >= 200
+
+    def _doc_grams(t: pa.Table):
+        """(doc_row_local_idx arrays) -> per-doc DISTINCT gram lists."""
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        mask = flat != ""
+        flat, row_idx = flat[mask], row_idx[mask]
+        if len(flat) < n:
+            return np.array([], dtype=np.int64), np.array([], dtype=object)
+        cols = [flat[i:len(flat) - (n - 1) + i] for i in range(n)]
+        same = row_idx[:len(flat) - (n - 1)] == row_idx[n - 1:]
+        g = pd.Series(cols[0][same])
+        for c in cols[1:]:
+            g = g + " " + pd.Series(c[same])
+        d = row_idx[:len(flat) - (n - 1)][same]
+        pairs = pd.DataFrame({"d": d, "g": g}).drop_duplicates()
+        return pairs["d"].to_numpy(), pairs["g"].to_numpy()
+
+    def test_grams(t: pa.Table) -> pa.Table:
+        buckets = _split_mask(t["doc_id"].to_pylist())
+        sub = t.filter(pa.array(buckets < 100))
+        _, g = _doc_grams(sub)
+        return pa.table({"g": pa.array(pd.unique(g), pa.string())})
+
+    bench = (ds.map_batches(test_grams, batch_format="pyarrow")
+             .groupby("g").count())
+    bench = _join_ready(bench, pa.schema([("g", pa.string()),
+                                          ("count()", pa.int64())]))
+    n_bench = bench.count()
+
+    def train_doc_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        buckets = _split_mask(ids)
+        sub = t.filter(pa.array(buckets >= 200))
+        d, g = _doc_grams(sub)
+        doc_ids = sub["doc_id"].to_numpy()[d] if len(d) else d
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "g": pa.array(g, pa.string())})
+
+    train = ds.map_batches(train_doc_grams, batch_format="pyarrow")
+
+    if n_bench <= broadcast_threshold:
+        blocks = [b.select(["g"]) for b in ray.get(bench.to_arrow_refs())
+                  if b.num_rows]
+        gs = frozenset(pa.concat_tables(blocks)["g"].to_pylist()
+                       ) if blocks else frozenset()
+        gs_ref = ray.put(gs)
+
+        def count_broadcast(t: pa.Table) -> pa.Table:
+            s = ray.get(gs_ref)
+            df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(),
+                               "hit": [g in s
+                                       for g in t["g"].to_pylist()]})
+            g = df.groupby("doc_id", sort=True)["hit"]
+            return pa.table({
+                "doc_id": pa.array(g.count().index.to_numpy(), pa.int64()),
+                "n_grams": pa.array(g.count().to_numpy(), pa.int64()),
+                "n_contaminated": pa.array(g.sum().to_numpy(), pa.int64()),
+            })
+
+        # per-batch partials then a sum-combine: a doc's grams can span
+        # batch boundaries
+        part = train.map_batches(count_broadcast, batch_format="pyarrow")
+        agg = part.groupby("doc_id").sum(["n_grams", "n_contaminated"])
+        return agg.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "n_grams": t["sum(n_grams)"],
+                "n_contaminated": t["sum(n_contaminated)"]}),
+            batch_format="pyarrow")
+
+    # join path: (doc_id, g) x bench grams — nothing lands on the driver
+    parts = _join_partitions(join_partitions, approx_rows=n_bench)
+    train_r = _join_ready(train.groupby(["doc_id", "g"]).count(),
+                          pa.schema([("doc_id", pa.int64()),
+                                     ("g", pa.string()),
+                                     ("count()", pa.int64())]))
+    totals = train_r.groupby("doc_id").count()
+    hits = train_r.join(bench, "inner", num_partitions=parts, on=("g",),
+                        right_suffix="_b").groupby("doc_id").count()
+    totals_r = _join_ready(totals, pa.schema([("doc_id", pa.int64()),
+                                              ("count()", pa.int64())]))
+    hits_r = _join_ready(hits, pa.schema([("doc_id", pa.int64()),
+                                          ("count()", pa.int64())]))
+    joined = totals_r.join(hits_r, "left_outer", num_partitions=parts,
+                           on=("doc_id",), right_suffix="_hit")
+
+    def finish(t: pa.Table) -> pa.Table:
+        hit = t["count()_hit"].to_pandas().fillna(0).astype("int64")
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_grams": t["count()"],
+                         "n_contaminated": pa.array(hit.to_numpy(),
+                                                    pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

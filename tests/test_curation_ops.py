@@ -171,3 +171,40 @@ def test_pack_manifest_two_level_cumsum(ray_session, tmp_path):
         off += n
     # doc 3 ("f g h i", offset 5) straddles sequences 1 and 2
     assert (got[3]["first_seq"], got[3]["last_seq"]) == (1, 2)
+
+
+def test_contamination_check_planted(ray_session, tmp_path):
+    """Planted split: find doc_ids that hash into test (<100) and train
+    (>=200) buckets, plant a shared 3-gram, and check the counts."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+
+    test_id = next(i for i in range(10_000) if bucket(i) < 100)
+    train_a = next(i for i in range(10_000)
+                   if bucket(i) >= 200 and i != test_id)
+    train_b = next(i for i in range(10_000)
+                   if bucket(i) >= 200 and i not in (test_id, train_a))
+    docs = pa.table({
+        "doc_id": pa.array([test_id, train_a, train_b], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta",        # test: grams abg, bgd
+            "alpha beta gamma zzz",          # train: abg contaminated
+            "one two three four five",       # train: clean
+        ], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    from crawler_ray.ops.textstats import contamination_check
+    for kw in ({}, {"broadcast_threshold": 0}):  # both planner paths
+        out = {r["doc_id"]: r
+               for r in contamination_check(str(tmp_path), **kw).take_all()}
+        assert set(out) == {train_a, train_b}
+        assert (out[train_a]["n_grams"],
+                out[train_a]["n_contaminated"]) == (2, 1)
+        assert (out[train_b]["n_grams"],
+                out[train_b]["n_contaminated"]) == (3, 0)
