@@ -208,3 +208,51 @@ def test_contamination_check_planted(ray_session, tmp_path):
                 out[train_a]["n_contaminated"]) == (2, 1)
         assert (out[train_b]["n_grams"],
                 out[train_b]["n_contaminated"]) == (3, 0)
+
+
+def test_cross_op_token_invariants(ray_session, tmp_path):
+    """The curation ops share one token definition (non-empty runs of a
+    single-space split); their outputs must agree on every document."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(1234)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    texts = []
+    for _ in range(40):
+        k = rng.randint(0, 12)
+        # random runs of spaces exercise the empty-token dropping
+        texts.append(" ".join(
+            rng.choice(vocab) + (" " if rng.random() < 0.3 else "")
+            for _ in range(k)).strip())
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    rep = {r["doc_id"]: r["n_words"]
+           for r in textstats.repetition_stats(sf).take_all()}
+    pack = {r["doc_id"]: r["n_tokens"]
+            for r in textstats.pack_manifest(sf).take_all()}
+    chunks: dict[int, int] = {}
+    joined: dict[int, list] = {}
+    for r in textstats.chunk_documents(sf, chunk_tokens=3).take_all():
+        chunks[r["doc_id"]] = chunks.get(r["doc_id"], 0) + r["n_tokens"]
+        joined.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"]))
+
+    for i, s in enumerate(texts):
+        toks = [w for w in s.split(" ") if w]
+        assert pack[i] == len(toks)  # pack_manifest counts every doc
+        if toks:
+            assert rep[i] == len(toks)
+            assert chunks[i] == len(toks)
+            # chunk texts reassemble the exact token stream
+            whole = " ".join(t for _, t in sorted(joined[i]))
+            assert whole == " ".join(toks)
+        else:
+            assert i not in rep and i not in chunks
