@@ -10,8 +10,10 @@
     python -m crawler_ray discover --corpus DIR [--out FILE]
     python -m crawler_ray gen     --out DIR [--pages N] [--hosts N]
                                   [--seed N] [--page-scale N]
+    python -m crawler_ray curate  --sf-dir DIR --out DIR [--passes a,b,...]
 
-Owns the Ray session (guarded init; library code never calls ray.init).
+Owns the Ray session when none is running (guarded init; library code
+never calls ray.init).
 """
 
 from __future__ import annotations
@@ -21,24 +23,29 @@ import json
 import sys
 
 
-def _ray_init():
+def _ray_init() -> bool:
+    """Guarded init; returns True when THIS call created the session (the
+    CLI then owns shutdown — an already-running session, e.g. pytest's
+    shared one, is left alone)."""
     import ray
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+    return owned
 
 
-def _shutdown():
+def _shutdown(owned: bool = True):
     import ray
-    if ray.is_initialized():
+    if owned and ray.is_initialized():
         ray.shutdown()
 
 
 def cmd_crawl(args) -> int:
     from crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
-    _ray_init()
+    owned = _ray_init()
     try:
         cfg = CrawlConfig(max_depth=args.max_depth,
                           max_pages=args.max_pages,
@@ -49,7 +56,7 @@ def cmd_crawl(args) -> int:
         print(json.dumps(summary["stats"], default=str))
         return 0
     finally:
-        _shutdown()
+        _shutdown(owned)
 
 
 def cmd_daemon(args) -> int:
@@ -57,7 +64,7 @@ def cmd_daemon(args) -> int:
 
     from crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
     from crawler_ray.pipelines.daemon import SmartCrawlDaemon
-    _ray_init()
+    owned = _ray_init()
     try:
         engine = CrawlEngine(args.corpus, args.work, CrawlConfig())
         daemon = SmartCrawlDaemon(
@@ -68,7 +75,7 @@ def cmd_daemon(args) -> int:
                           "state": out["state"]}, default=str))
         return 0
     finally:
-        _shutdown()
+        _shutdown(owned)
 
 
 def cmd_discover(args) -> int:
@@ -90,7 +97,7 @@ def cmd_gen(args) -> int:
     from crawler_ray.corpus import generate_corpus
     use_ray = args.pages > 5000
     if use_ray:
-        _ray_init()
+        owned = _ray_init()
     try:
         info = generate_corpus(args.out, n_pages=args.pages,
                                n_hosts=args.hosts, seed=args.seed,
@@ -99,7 +106,46 @@ def cmd_gen(args) -> int:
         return 0
     finally:
         if use_ray:
-            _shutdown()
+            _shutdown(owned)
+
+
+_CURATE_PASSES = ("pii_scrub", "repetition_stats", "dataset_split",
+                  "chunk_documents", "pack_manifest", "curate_corpus",
+                  "contamination_check")
+
+
+def cmd_curate(args) -> int:
+    """Run the training-data curation passes over a documents table and
+    write each result as partitioned parquet under --out/<pass>/ — one
+    directory per pass, so a failed run reruns only the missing passes
+    (directories with a _SUCCESS marker are skipped)."""
+    import os
+
+    from crawler_ray.ops import textstats
+    owned = _ray_init()
+    try:
+        passes = (args.passes.split(",") if args.passes
+                  else list(_CURATE_PASSES))
+        unknown = [s for s in passes if s not in _CURATE_PASSES]
+        if unknown:
+            raise SystemExit(f"unknown curation pass(es): {unknown}; "
+                             f"choose from {list(_CURATE_PASSES)}")
+        done = {}
+        for name in passes:
+            out_dir = os.path.join(args.out, name)
+            marker = os.path.join(out_dir, "_SUCCESS")
+            if os.path.exists(marker):
+                done[name] = "skipped (already complete)"
+                continue
+            ds = getattr(textstats, name)(args.sf_dir)
+            ds.write_parquet(out_dir)
+            with open(marker, "w"):
+                pass
+            done[name] = "written"
+        print(json.dumps({"out": args.out, "passes": done}))
+        return 0
+    finally:
+        _shutdown(owned)
 
 
 def main(argv=None) -> int:
@@ -136,6 +182,15 @@ def main(argv=None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--page-scale", type=int, default=1)
     g.set_defaults(fn=cmd_gen)
+
+    k = sub.add_parser("curate")
+    k.add_argument("--sf-dir", required=True,
+                   help="directory holding documents.parquet")
+    k.add_argument("--out", required=True)
+    k.add_argument("--passes", default=None,
+                   help=f"comma list from {list(_CURATE_PASSES)} "
+                        "(default: all)")
+    k.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -39,3 +39,29 @@ def test_gen_idempotent(tmp_path, capsys):
     second = capsys.readouterr().out
     assert json.loads(first.splitlines()[-1])["params"] \
         == json.loads(second.splitlines()[-1])["params"]
+
+
+def test_curate_writes_and_resumes(tmp_path, capsys, ray_session):
+    """curate writes one parquet directory per pass with a _SUCCESS
+    marker; a rerun skips completed passes (resumable output); it must
+    NOT shut down an already-running Ray session."""
+    import pyarrow.dataset as pads
+    import ray
+
+    out = str(tmp_path / "curated")
+    assert main(["curate", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out,
+                 "--passes", "dataset_split,repetition_stats"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["passes"] == {"dataset_split": "written",
+                             "repetition_stats": "written"}
+    assert ray.is_initialized()  # the shared session survived
+    n = pads.dataset(os.path.join(out, "dataset_split"),
+                     format="parquet").count_rows()
+    assert n == 500
+
+    assert main(["curate", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out,
+                 "--passes", "dataset_split,repetition_stats"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(v.startswith("skipped") for v in rep2["passes"].values())
