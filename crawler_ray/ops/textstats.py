@@ -455,11 +455,19 @@ def top_bigrams(sf_dir: str, k: int = 50):
             return pa.table({"bigram": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
         same_doc = doc_idx[:-1] == doc_idx[1:]
-        bg = (pd.Series(flat[:-1][same_doc]) + " "
-              + pd.Series(flat[1:][same_doc]))
-        vc = bg.value_counts(sort=False)
-        return pa.table({"bigram": pa.array(vc.index, pa.string()),
-                         "n": pa.array(vc.to_numpy(), pa.int64())})
+        # factorize words once (C hash) and tally integer bigram codes;
+        # strings are built only for the batch's DISTINCT bigrams, so
+        # per-batch work is O(tokens) integer ops + O(distinct) strings
+        codes, uniques = pd.factorize(flat)
+        uniques = np.asarray(uniques, dtype=object)
+        a = codes[:-1][same_doc].astype(np.int64)
+        b = codes[1:][same_doc].astype(np.int64)
+        key = a * len(uniques) + b
+        uk, counts = np.unique(key, return_counts=True)
+        bg = (pd.Series(uniques[uk // len(uniques)])
+              .str.cat(pd.Series(uniques[uk % len(uniques)]), sep=" "))
+        return pa.table({"bigram": pa.array(bg, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("bigram").sum("n"))
@@ -634,19 +642,24 @@ def contamination_check(sf_dir: str, n: int = 3,
     in-map with no shuffle.  Output (doc_id, n_grams, n_contaminated)
     for train documents with at least one ``n``-gram.
 
-    Scale shape: the test-side gram set is deduplicated distributedly
-    (``groupby`` on the gram), then the usual planner decision — at or
-    under ``broadcast_threshold`` distinct grams it ships once via
-    ``ray.put`` as a frozenset and the train scan counts membership
-    in-map; above it the train (doc_id, gram) rows inner-join the gram
-    set so neither side lands on the driver
+    Scale shape: grams travel as the same 64-bit hashes
+    ``ngram_jaccard_pairs`` uses (splitmix64 over md5-low64 token
+    hashes — no gram strings are ever built; two distinct grams
+    colliding can flip one membership bit, ~2^-64 per gram pair, the
+    module's documented approximation).  The test-side gram set is
+    deduplicated distributedly (``groupby`` on the hash), then the
+    usual planner decision — at or under ``broadcast_threshold``
+    distinct grams it ships once via ``ray.put`` as a sorted int64
+    array and the train scan counts membership with a vectorized
+    binary search; above it the train (doc_id, gram) rows inner-join
+    the gram set so neither side lands on the driver
     (``broadcast_threshold=0`` forces the join path; pytest pins the
     two paths identical)."""
-    import pandas as pd
     import pyarrow.compute as pc
     import ray
 
-    from crawler_ray.ops.dedup import _join_partitions, _join_ready
+    from crawler_ray.ops.dedup import (_join_partitions, _join_ready,
+                                       _splitmix64, _token_hashes)
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
@@ -657,34 +670,47 @@ def contamination_check(sf_dir: str, n: int = 3,
              for i in ids), dtype=np.int64, count=len(ids))
         return b  # bucket; test < 100, train >= 200
 
+    _FNV = np.uint64(1099511628211)
+
     def _doc_grams(t: pa.Table):
-        """(doc_row_local_idx arrays) -> per-doc DISTINCT gram lists."""
+        """(doc_row_local_idx, gram_hash int64) — DISTINCT per doc."""
+        empty = (np.array([], dtype=np.int64),) * 2
         words = pc.split_pattern(t["text"], " ")
         lens = pc.list_value_length(words).to_numpy()
         flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
         row_idx = np.repeat(np.arange(len(lens)), lens)
         mask = flat != ""
         flat, row_idx = flat[mask], row_idx[mask]
-        if len(flat) < n:
-            return np.array([], dtype=np.int64), np.array([], dtype=object)
-        cols = [flat[i:len(flat) - (n - 1) + i] for i in range(n)]
-        same = row_idx[:len(flat) - (n - 1)] == row_idx[n - 1:]
-        g = pd.Series(cols[0][same])
-        for c in cols[1:]:
-            g = g + " " + pd.Series(c[same])
-        d = row_idx[:len(flat) - (n - 1)][same]
-        pairs = pd.DataFrame({"d": d, "g": g}).drop_duplicates()
-        return pairs["d"].to_numpy(), pairs["g"].to_numpy()
+        m = len(flat) - n + 1
+        if m <= 0:
+            return empty
+        hs = _token_hashes(list(flat))
+        with np.errstate(over="ignore"):
+            acc = hs[:m].copy()
+            for j in range(1, n):
+                acc = _splitmix64(acc * _FNV + hs[j:j + m])
+        same = row_idx[:m] == row_idx[n - 1:]
+        d = row_idx[:m][same]
+        g = acc[same].view(np.int64)
+        if len(d) == 0:
+            return empty
+        # distinct per doc: doc-major sort + adjacent dedupe (no hashes
+        # of hashes, no Python objects)
+        order = np.lexsort((g, d))
+        d, g = d[order], g[order]
+        keep = np.concatenate(
+            [[True], (d[1:] != d[:-1]) | (g[1:] != g[:-1])])
+        return d[keep], g[keep]
 
     def test_grams(t: pa.Table) -> pa.Table:
         buckets = _split_mask(t["doc_id"].to_pylist())
         sub = t.filter(pa.array(buckets < 100))
         _, g = _doc_grams(sub)
-        return pa.table({"g": pa.array(pd.unique(g), pa.string())})
+        return pa.table({"g": pa.array(np.unique(g), pa.int64())})
 
     bench = (ds.map_batches(test_grams, batch_format="pyarrow")
              .groupby("g").count())
-    bench = _join_ready(bench, pa.schema([("g", pa.string()),
+    bench = _join_ready(bench, pa.schema([("g", pa.int64()),
                                           ("count()", pa.int64())]))
     n_bench = bench.count()
 
@@ -695,27 +721,35 @@ def contamination_check(sf_dir: str, n: int = 3,
         d, g = _doc_grams(sub)
         doc_ids = sub["doc_id"].to_numpy()[d] if len(d) else d
         return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                         "g": pa.array(g, pa.string())})
+                         "g": pa.array(g, pa.int64())})
 
     train = ds.map_batches(train_doc_grams, batch_format="pyarrow")
 
     if n_bench <= broadcast_threshold:
         blocks = [b.select(["g"]) for b in ray.get(bench.to_arrow_refs())
                   if b.num_rows]
-        gs = frozenset(pa.concat_tables(blocks)["g"].to_pylist()
-                       ) if blocks else frozenset()
+        gs = (np.sort(pa.concat_tables(blocks)["g"].to_numpy())
+              if blocks else np.array([], dtype=np.int64))
         gs_ref = ray.put(gs)
 
         def count_broadcast(t: pa.Table) -> pa.Table:
-            s = ray.get(gs_ref)
-            df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(),
-                               "hit": [g in s
-                                       for g in t["g"].to_pylist()]})
-            g = df.groupby("doc_id", sort=True)["hit"]
+            s = ray.get(gs_ref)  # sorted int64, zero-copy from plasma
+            gv = t["g"].to_numpy()
+            if len(s):
+                idx = np.clip(np.searchsorted(s, gv), 0, len(s) - 1)
+                hit = (s[idx] == gv).astype(np.int64)
+            else:
+                hit = np.zeros(len(gv), dtype=np.int64)
+            d = t["doc_id"].to_numpy()
+            # train_doc_grams emits doc-major rows; within a batch a
+            # plain bincount over compacted ids does the tally
+            uniq, inv = np.unique(d, return_inverse=True)
             return pa.table({
-                "doc_id": pa.array(g.count().index.to_numpy(), pa.int64()),
-                "n_grams": pa.array(g.count().to_numpy(), pa.int64()),
-                "n_contaminated": pa.array(g.sum().to_numpy(), pa.int64()),
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_grams": pa.array(np.bincount(inv), pa.int64()),
+                "n_contaminated": pa.array(
+                    np.bincount(inv, weights=hit).astype(np.int64),
+                    pa.int64()),
             })
 
         # per-batch partials then a sum-combine: a doc's grams can span
@@ -733,7 +767,7 @@ def contamination_check(sf_dir: str, n: int = 3,
     parts = _join_partitions(join_partitions, approx_rows=n_bench)
     train_r = _join_ready(train.groupby(["doc_id", "g"]).count(),
                           pa.schema([("doc_id", pa.int64()),
-                                     ("g", pa.string()),
+                                     ("g", pa.int64()),
                                      ("count()", pa.int64())]))
     totals = train_r.groupby("doc_id").count()
     hits = train_r.join(bench, "inner", num_partitions=parts, on=("g",),
