@@ -21,10 +21,13 @@ __all__ = ["token_counts", "lang_id", "text_quality", "fingerprints",
            "dataset_split", "chunk_documents", "pack_manifest",
            "contamination_check"]
 
+# used by curate_corpus's counting pass; the scan-only ops
+# (token_counts / lang_id / text_quality) run the equivalent patterns
+# as Arrow RE2 kernels instead — the same engine the DuckDB oracle
+# uses, so twin parity holds by construction (note RE2's \s is ASCII
+# whitespace while Python re's is Unicode; the oracle side was always
+# RE2, so the Arrow kernels only tightened the match)
 _TOKEN_RE = re.compile(r"\S+")
-_ARABIC_RE = re.compile("[؀-ۿ]")
-_LATIN_RE = re.compile("[A-Za-z]")
-_WS_RE = re.compile(r"\s")
 
 
 def _rd():
@@ -34,14 +37,20 @@ def _rd():
 
 def token_counts(sf_dir: str):
     """(doc_id, n_tokens) with whitespace tokenization (M16 analog for
-    generic text; the Persian tokenizer path is pytest-covered)."""
+    generic text; the Persian tokenizer path is pytest-covered).
+    Pure Arrow RE2 kernel — the same ``\\S+`` the DuckDB oracle runs, so
+    parity is by construction and the scan carries zero Python."""
+    import pyarrow.compute as pc
+
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def count(t: pa.Table) -> pa.Table:
-        n = [len(_TOKEN_RE.findall(s)) for s in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"],
-                         "n_tokens": pa.array(n, pa.int64())})
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+        })
 
     return ds.map_batches(count, batch_format="pyarrow")
 
@@ -55,14 +64,14 @@ def lang_id(sf_dir: str):
                             columns=["doc_id", "text"])
 
     def score(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_ar = [len(_ARABIC_RE.findall(s)) for s in texts]
-        n_la = [len(_LATIN_RE.findall(s)) for s in texts]
-        pred = ["fa" if a > l else "en" for a, l in zip(n_ar, n_la)]
-        return pa.table({"doc_id": t["doc_id"],
-                         "n_arabic": pa.array(n_ar, pa.int64()),
-                         "n_latin": pa.array(n_la, pa.int64()),
-                         "lang_pred": pa.array(pred, pa.string())})
+        import pyarrow.compute as pc
+        n_ar = pc.cast(pc.count_substring_regex(
+            t["text"], "[؀-ۿ]"), pa.int64())
+        n_la = pc.cast(pc.count_substring_regex(
+            t["text"], "[A-Za-z]"), pa.int64())
+        pred = pc.if_else(pc.greater(n_ar, n_la), "fa", "en")
+        return pa.table({"doc_id": t["doc_id"], "n_arabic": n_ar,
+                         "n_latin": n_la, "lang_pred": pred})
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -75,21 +84,20 @@ def text_quality(sf_dir: str):
                             columns=["doc_id", "text"])
 
     def score(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_words, n_chars, avg_milli, n_q = [], [], [], []
-        for s in texts:
-            w = len(_TOKEN_RE.findall(s))
-            c = len(_WS_RE.sub("", s))
-            n_words.append(w)
-            n_chars.append(c)
-            avg_milli.append((c * 1000) // w if w else 0)
-            n_q.append(s.count("?") + s.count("؟"))
+        import pyarrow.compute as pc
+        text = t["text"]
+        w = pc.cast(pc.count_substring_regex(text, r"\S+"),
+                    pa.int64()).to_numpy()
+        c = pc.utf8_length(pc.replace_substring_regex(
+            text, r"\s", "")).cast(pa.int64()).to_numpy()
+        avg = np.where(w > 0, (c * 1000) // np.maximum(w, 1), 0)
+        q = pc.add(pc.count_substring(text, "?"),
+                   pc.count_substring(text, "؟")).cast(pa.int64())
         return pa.table({"doc_id": t["doc_id"],
-                         "n_words": pa.array(n_words, pa.int64()),
-                         "n_chars_nonws": pa.array(n_chars, pa.int64()),
-                         "avg_word_len_milli": pa.array(avg_milli,
-                                                        pa.int64()),
-                         "question_marks": pa.array(n_q, pa.int64())})
+                         "n_words": pa.array(w, pa.int64()),
+                         "n_chars_nonws": pa.array(c, pa.int64()),
+                         "avg_word_len_milli": pa.array(avg, pa.int64()),
+                         "question_marks": q})
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -386,7 +394,9 @@ def pii_scrub(sf_dir: str):
 
 
 def repetition_stats(sf_dir: str):
-    """Gopher-style within-document repetition signals: per document,
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, "Scaling Language Models", Appendix A1.1 quality filters —
+    re-derived here over whitespace tokens): per document,
     total / distinct word counts, the most-frequent word's share and the
     duplicate-word fraction (both integer-scaled to milli-units so the
     SQL twin is bit-exact).  Tokens are the non-empty runs of a
@@ -563,8 +573,10 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 32):
 
 def pack_manifest(sf_dir: str, seq_tokens: int = 64,
                   bucket_size: int = 4096):
-    """Sequence-packing manifest — the concat-then-split packing of a
-    training corpus: documents are laid end-to-end in doc_id order and
+    """Sequence-packing manifest — the concat-then-split packing every
+    GPT-style pretraining loader performs (documents joined end-to-end,
+    cut at fixed context length): documents are laid end-to-end in
+    doc_id order and
     cut into ``seq_tokens``-token training sequences; each document's
     row records where its tokens land.  Output (doc_id, n_tokens,
     tok_offset, first_seq, last_seq) with tok_offset the document's
@@ -637,7 +649,9 @@ def contamination_check(sf_dir: str, n: int = 3,
                         join_partitions: int | None = None):
     """Benchmark decontamination — for every train-split document, how
     many of its distinct word ``n``-grams also occur anywhere in the
-    test split (the held-out set a real pipeline must not leak).  Splits
+    test split (the held-out set a real pipeline must not leak — the
+    n-gram-overlap decontamination of Brown et al. 2020, "Language
+    Models are Few-Shot Learners", Appendix C).  Splits
     come from ``dataset_split``'s content-independent hash rule, derived
     in-map with no shuffle.  Output (doc_id, n_grams, n_contaminated)
     for train documents with at least one ``n``-gram.
