@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # video-style decode -> resize -> frame-sample chain (stubbed
         # codecs, real Ray layout; rows-only, pytest-pinned)
         "payload_frames": multimodal.payload_frames,
+        # real (unstubbed) pre-decode triage: magic-byte sniff + byte
+        # entropy; rows-only (byte iteration is not SQL-expressible)
+        "payload_stats": multimodal.payload_stats,
         # the crawl pipeline itself (verified vs serial oracle in pytest;
         # rows-only here — inputs are the self-generated corpus, not sf_dir)
         "crawl_trace": _crawl_trace,

@@ -454,3 +454,34 @@ class TestManifestFormatGuard:
         eng2 = CrawlEngine(small_corpus["dir"], work, CrawlConfig())
         with pytest.raises(ValueError, match="re-run fresh"):
             eng2.run(mode="wave", resume=True)
+
+
+def test_spill_retry_idempotent(tmp_path):
+    """A retried spill task overwrites its own part instead of
+    duplicating it — the property the deterministic part names exist
+    for (a Ray task retry re-executes the same batch)."""
+    import pyarrow as pa
+
+    from crawler_ray.pipelines.wave import _SpillExtracted
+
+    out = str(tmp_path / "extracted")
+    batch = pa.table({
+        "url_norm": pa.array(["https://h/x", "https://h/y"]),
+        "links": pa.array([["https://h/z"], []],
+                          pa.list_(pa.string())),
+        "depth": pa.array([1, 1], pa.int32()),
+        "job_type": pa.array(["post", "post"]),
+        "priority": pa.array([5, 5], pa.int64()),
+        "host": pa.array(["h", "h"]),
+        "fetch_ok": pa.array([True, False]),
+        "sm_kind": pa.array(["", ""]),
+        "title": pa.array(["t1", "t2"]),
+    })
+    spill = _SpillExtracted(out)
+    r1 = spill(batch)
+    files_once = sorted(os.listdir(out))
+    r2 = spill(batch)  # the "retry"
+    files_twice = sorted(os.listdir(out))
+    assert files_once == files_twice and len(files_once) == 1
+    assert _SpillExtracted.counts(out) == (2, 1)
+    assert r1.equals(r2)

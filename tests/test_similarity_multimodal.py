@@ -370,3 +370,42 @@ class TestEmbeddingDedupKeep:
         assert set(keep_of) == set(parent)
         for members in comps.values():
             assert [m for m in members if keep_of[m]] == [min(members)]
+
+
+def test_payload_stats_magic_and_entropy(ray_session, tmp_path):
+    """payload_stats is REAL byte analysis: plant blobs with known magic
+    bytes and known entropy and pin the outputs."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops import multimodal as mm
+
+    # attach_payload encodes the text column utf-8; craft texts whose
+    # encodings carry the magic prefixes (all chosen ASCII-safe)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "GIF89a trailing data",
+            "%PDF-1.4 body",
+            "RIFF....WAVE",
+            "aabb",                     # unknown; entropy exactly 1 bit
+        ], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r
+           for r in mm.payload_stats(str(tmp_path)).take_all()}
+    assert out[0]["format"] == "gif"
+    assert out[1]["format"] == "pdf"
+    assert out[2]["format"] == "riff"
+    assert out[3]["format"] == "unknown"
+    assert out[3]["n_bytes"] == 4
+    assert out[3]["n_distinct_bytes"] == 2
+    assert out[3]["entropy_milli"] == 1000  # floor(1.0 * 1000)
+    # entropy of the gif doc matches a serial recomputation
+    from collections import Counter
+    b = "GIF89a trailing data".encode()
+    c = Counter(b)
+    h = -sum((v / len(b)) * math.log2(v / len(b)) for v in c.values())
+    assert out[0]["entropy_milli"] == int(h * 1000)
