@@ -124,6 +124,14 @@ def run_bench() -> dict:
         # keyed-store CRUD cycle: seed insert + mixed upsert + delete +
         # scan, all partition-local rewrites (state/tablestore.py)
         "table_crud": lambda: crud.table_crud(sf_dir),
+        # curation passes (round 3): Arrow-RE2 PII scrub, repetition
+        # signals, packing manifest (two-level prefix sum), train-vs-test
+        # 3-gram decontamination (dedup + broadcast membership)
+        "pii_scrub": lambda: textstats.pii_scrub(sf_dir),
+        "repetition_stats": lambda: textstats.repetition_stats(sf_dir),
+        "pack_manifest": lambda: textstats.pack_manifest(sf_dir),
+        "contamination_check":
+            lambda: textstats.contamination_check(sf_dir),
     }
     for name, fn in suite.items():
         t0 = time.time()
