@@ -770,23 +770,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # literal replay of ops/textstats.py:pii_scrub — same RE2
-        # patterns, same fixed scrub order, counts on the original text
+        # patterns, same fixed scrub order, each count taken on the text
+        # as it stands when that step's replace runs (audit-accurate)
         "pii_scrub": r"""
+            WITH s1 AS (
+                SELECT doc_id, text,
+                       regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+                FROM documents
+            ), s2 AS (
+                SELECT doc_id, text, t1,
+                       regexp_replace(t1,
+                        '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS t2
+                FROM s1
+            )
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                         AS BIGINT) AS n_email,
-                   CAST(len(regexp_extract_all(text,
-                        '\+?\d[\d\-\s]{7,}\d')) AS BIGINT) AS n_phone,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t1,
+                        '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(t2,
                         '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                        '<EMAIL>', 'g'),
-                        '\+?\d[\d\-\s]{7,}\d', '<PHONE>', 'g'),
+                   regexp_replace(t2,
                         '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
                        AS text_scrubbed
-            FROM documents
+            FROM s2
         """,
         # single-space split, empties dropped — the exact token list of
         # ops/textstats.py:repetition_stats; integer milli-scaling makes

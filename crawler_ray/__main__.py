@@ -118,8 +118,11 @@ def cmd_curate(args) -> int:
     """Run the training-data curation passes over a documents table and
     write each result as partitioned parquet under --out/<pass>/ — one
     directory per pass, so a failed run reruns only the missing passes
-    (directories with a _SUCCESS marker are skipped)."""
+    (directories with a _SUCCESS marker are skipped; a directory left
+    behind by a crashed pass — files but no marker — is cleared before
+    the rewrite so the appending parquet writer cannot duplicate rows)."""
     import os
+    import shutil
 
     from crawler_ray.ops import textstats
     owned = _ray_init()
@@ -137,6 +140,11 @@ def cmd_curate(args) -> int:
             if os.path.exists(marker):
                 done[name] = "skipped (already complete)"
                 continue
+            # no marker but files present => a previous run died mid-write.
+            # write_parquet APPENDS (per-run UUID filenames), so rerunning
+            # over the partial output would duplicate rows — clear it first.
+            if os.path.isdir(out_dir):
+                shutil.rmtree(out_dir)
             ds = getattr(textstats, name)(args.sf_dir)
             ds.write_parquet(out_dir)
             with open(marker, "w"):

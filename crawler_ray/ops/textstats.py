@@ -21,15 +21,6 @@ __all__ = ["token_counts", "lang_id", "text_quality", "fingerprints",
            "dataset_split", "chunk_documents", "pack_manifest",
            "contamination_check"]
 
-# used by curate_corpus's counting pass; the scan-only ops
-# (token_counts / lang_id / text_quality) run the equivalent patterns
-# as Arrow RE2 kernels instead — the same engine the DuckDB oracle
-# uses, so twin parity holds by construction (note RE2's \s is ASCII
-# whitespace while Python re's is Unicode; the oracle side was always
-# RE2, so the Arrow kernels only tightened the match)
-_TOKEN_RE = re.compile(r"\S+")
-
-
 def _rd():
     import ray.data as rd
     return rd
@@ -276,13 +267,18 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
     ds = _rd().read_parquet(path, columns=["doc_id", "text"])
 
     def hash_and_count(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         texts = t["text"].to_pylist()
         hashes = [hashlib.md5(s.encode("utf-8")).hexdigest()
                   for s in texts]
-        words = [len(_TOKEN_RE.findall(s)) for s in texts]
+        # same RE2 \S+ kernel as token_counts / text_quality and the
+        # DuckDB twin — ONE token definition across the whole suite
+        # (Python re's \S treats Unicode spaces like NBSP differently)
+        words = pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                        pa.int64())
         return pa.table({"doc_id": t["doc_id"],
                          "text_hash": pa.array(hashes, pa.string()),
-                         "n_words": pa.array(words, pa.int64())})
+                         "n_words": words})
 
     hashed = ds.map_batches(hash_and_count,
                             batch_format="pyarrow").materialize()
@@ -355,11 +351,15 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
 # Patterns restricted to syntax RE2 evaluates identically in Arrow
 # (replace/count_substring_regex) and DuckDB (regexp_replace/extract_all):
 # no backreferences, no lookaround.  Scrub order is fixed (email, phone,
-# ipv4) and counts are taken on the ORIGINAL text, so the SQL twin is a
-# literal replay.
+# ipv4) and each count is taken on the text AS IT STANDS when that
+# pattern's replace runs, so n_email/n_phone/n_ipv4 are exactly the
+# number of placeholders each step wrote — audit-accurate — and the SQL
+# twin is a literal replay of the same sequence.  The phone class is
+# [\d\- ] (not \s): a run must stay on one line, so a digit run cannot
+# swallow newline-separated numbers or digits from an adjacent list.
 _PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?\d[\d\-\s]{7,}\d", "<PHONE>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
     ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 )
 
@@ -380,12 +380,13 @@ def pii_scrub(sf_dir: str):
                             columns=["doc_id", "text"])
 
     def scrub(t: pa.Table) -> pa.Table:
-        text = t["text"]
         cols = {"doc_id": t["doc_id"]}
-        scrubbed = text
+        scrubbed = t["text"]
         for name, pat, repl in _PII_PATTERNS:
+            # count on the CURRENT text (post earlier scrub steps) so the
+            # count equals the placeholders this replace writes
             cols[f"n_{name}"] = pc.cast(
-                pc.count_substring_regex(text, pat), pa.int64())
+                pc.count_substring_regex(scrubbed, pat), pa.int64())
             scrubbed = pc.replace_substring_regex(scrubbed, pat, repl)
         cols["text_scrubbed"] = scrubbed
         return pa.table(cols)

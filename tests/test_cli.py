@@ -65,3 +65,14 @@ def test_curate_writes_and_resumes(tmp_path, capsys, ray_session):
                  "--passes", "dataset_split,repetition_stats"]) == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert all(v.startswith("skipped") for v in rep2["passes"].values())
+
+    # a crashed pass leaves files but no _SUCCESS; the rerun must clear
+    # the partial directory before rewriting (write_parquet appends, so
+    # skipping the clear would duplicate rows)
+    split_dir = os.path.join(out, "dataset_split")
+    os.remove(os.path.join(split_dir, "_SUCCESS"))
+    assert main(["curate", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out, "--passes", "dataset_split"]) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["passes"] == {"dataset_split": "written"}
+    assert pads.dataset(split_dir, format="parquet").count_rows() == 500

@@ -54,6 +54,31 @@ def test_pii_scrub_planted(ray_session, planted_sf):
     assert out[4]["text_scrubbed"] == ""
 
 
+def test_pii_scrub_sequential_counts(ray_session, tmp_path):
+    """Counts are audit-accurate: each pattern counts the text AS IT
+    STANDS when its replace runs, and the phone class excludes newlines
+    so runs cannot bridge lines (round-3 ADVICE items)."""
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            # digit-run local part: the email scrub consumes it first,
+            # so the phone step sees no digits left to redact
+            "reach 123-456-7890@mail.example.com now",
+            # two 9-digit runs split by a newline -> TWO phone matches
+            # (the old [\d\-\s] class merged them into one)
+            "a 123456789\n987654321 b",
+        ], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r
+           for r in textstats.pii_scrub(str(tmp_path)).take_all()}
+    assert out[0]["n_email"] == 1
+    assert out[0]["n_phone"] == 0
+    assert out[0]["text_scrubbed"] == "reach <EMAIL> now"
+    assert out[1]["n_phone"] == 2
+    assert out[1]["text_scrubbed"] == "a <PHONE>\n<PHONE> b"
+
+
 def test_repetition_stats_planted(ray_session, planted_sf):
     out = {r["doc_id"]: r
            for r in textstats.repetition_stats(planted_sf).take_all()}
