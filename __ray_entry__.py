@@ -139,9 +139,9 @@ def _crawl_domain_content(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from crawler_ray.ops import crud, dedup, discovery, multimodal
-    from crawler_ray.ops import relational, similarity, textstats
-    from crawler_ray.ops import urls_jobs
+    from crawler_ray.ops import crud, dedup, discovery, filtering
+    from crawler_ray.ops import multimodal, relational, similarity
+    from crawler_ray.ops import textstats, urls_jobs
     from crawler_ray.state import history
 
     return {
@@ -202,6 +202,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": textstats.chunk_documents,
         "pack_manifest": textstats.pack_manifest,
         "contamination_check": textstats.contamination_check,
+        # corpus selection layer (ops/filtering.py): CCNet line dedup,
+        # Gopher quality gate, per-source caps, per-language sampling,
+        # exact length percentiles — all with literal SQL replays
+        "line_dedup": filtering.line_dedup,
+        "quality_filter": filtering.quality_filter,
+        "source_quota": filtering.source_quota,
+        "stratified_sample": filtering.stratified_sample,
+        "incremental_dedup": filtering.incremental_dedup,
+        "length_percentiles": filtering.length_percentiles,
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
@@ -866,6 +875,143 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(b.g) AS BIGINT) AS n_contaminated
             FROM train t LEFT JOIN bench b ON t.g = b.g
             GROUP BY t.doc_id
+        """,
+        # literal replay of ops/filtering.py:line_dedup (min_count=2):
+        # the SQL groups by the line STRING where the engine groups by
+        # its md5-low64 — identical up to the documented ~2^-64
+        # collisions.  Parallel unnests zip, so li is the line's ordinal.
+        "line_dedup": """
+            WITH l AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(len(string_split(text, chr(10)))))
+                           AS li
+                FROM documents
+            ), c AS (
+                SELECT line, COUNT(*) AS n
+                FROM l WHERE line <> '' GROUP BY line
+            ), k AS (
+                SELECT l.doc_id, l.li, l.line
+                FROM l LEFT JOIN c USING (line)
+                WHERE l.line = '' OR c.n < 2
+            )
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+                       AS n_lines,
+                   CAST(len(string_split(d.text, chr(10)))
+                        - COUNT(k.li) AS BIGINT) AS n_dropped,
+                   COALESCE(string_agg(k.line, chr(10) ORDER BY k.li),
+                            '') AS text_clean
+            FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+            GROUP BY d.doc_id, d.text
+        """,
+        # literal replay of ops/filtering.py:quality_filter defaults —
+        # same token definition as repetition_stats, same fixed rule
+        # order, same floor-division milli scaling; zero-token docs
+        # surface through the LEFT JOIN and fail the word-count floor
+        "quality_filter": """
+            WITH tok AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+                WHERE w <> ''
+            ), pair AS (
+                SELECT doc_id, w, COUNT(*) AS c
+                FROM tok GROUP BY doc_id, w
+            ), agg AS (
+                SELECT doc_id, SUM(c) AS total, COUNT(*) AS dct,
+                       MAX(c) AS top, SUM(c * length(w)) AS chars
+                FROM pair GROUP BY doc_id
+            ), st AS (
+                SELECT d.doc_id,
+                       COALESCE(a.total, 0) AS n_words,
+                       (1000 * COALESCE(a.chars, 0))
+                           // GREATEST(COALESCE(a.total, 0), 1)
+                           AS mean_wlen_milli,
+                       (1000 * COALESCE(a.top, 0))
+                           // GREATEST(COALESCE(a.total, 0), 1)
+                           AS top_share_milli,
+                       (1000 * (COALESCE(a.total, 0)
+                                - COALESCE(a.dct, 0)))
+                           // GREATEST(COALESCE(a.total, 0), 1)
+                           AS dup_frac_milli
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(mean_wlen_milli AS BIGINT) AS mean_wlen_milli,
+                   CAST(top_share_milli AS BIGINT) AS top_share_milli,
+                   CAST(dup_frac_milli AS BIGINT) AS dup_frac_milli,
+                   CASE WHEN n_words < 50 THEN 'too_short'
+                        WHEN n_words > 100000 THEN 'too_long'
+                        WHEN mean_wlen_milli < 3000 THEN 'short_words'
+                        WHEN mean_wlen_milli > 10000 THEN 'long_words'
+                        WHEN top_share_milli > 200 THEN 'top_word'
+                        WHEN dup_frac_milli > 300 THEN 'repetitive'
+                        ELSE 'keep' END AS reason
+            FROM st
+        """,
+        # literal replay of ops/filtering.py:source_quota (quota=50)
+        "source_quota": """
+            SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rk
+                FROM documents)
+            WHERE rk <= 50
+        """,
+        # literal replay of ops/filtering.py:stratified_sample defaults
+        # (default_permille=100, no overrides) — the dataset_split
+        # bucket rule gates each language at the same rate
+        "stratified_sample": """
+            SELECT doc_id, lang, bucket FROM (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT % 1000
+                            AS BIGINT) AS bucket
+                FROM documents)
+            WHERE bucket < 100
+        """,
+        # literal replay of ops/filtering.py:incremental_dedup defaults
+        # (existing = train buckets >= 200, incoming = the rest); the
+        # engine's 64-bit membership key collapses to the full-md5
+        # NOT IN here — identical up to the documented ~2^-64 collisions
+        "incremental_dedup": """
+            WITH b AS (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT % 1000 AS bucket
+                FROM documents
+            ), ex AS (
+                SELECT DISTINCT md5(text) AS h FROM b WHERE bucket >= 200
+            )
+            SELECT doc_id, md5(text) AS text_hash
+            FROM b
+            WHERE bucket < 200
+              AND md5(text) NOT IN (SELECT h FROM ex)
+        """,
+        # literal replay of ops/filtering.py:length_percentiles —
+        # rank-exact percentile over the n_tokens histogram, rank =
+        # (p*N + 99) // 100, value = smallest length reaching the rank
+        "length_percentiles": r"""
+            WITH t AS (
+                SELECT CAST(len(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS n
+                FROM documents
+            ), h AS (
+                SELECT n, COUNT(*) AS cnt FROM t GROUP BY n
+            ), cum AS (
+                SELECT n, SUM(cnt) OVER (ORDER BY n) AS cm FROM h
+            ), tot AS (
+                SELECT COUNT(*) AS c FROM t
+            ), p AS (
+                SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct
+            )
+            SELECT CAST(p.pct AS BIGINT) AS pct,
+                   CAST(MIN(cum.n) AS BIGINT) AS n_tokens
+            FROM p, cum, tot
+            WHERE cum.cm >= (p.pct * tot.c + 99) // 100
+            GROUP BY p.pct
         """,
         # concat-then-split packing manifest: the window-function prefix
         # sum is the SQL statement of the engine's two-level distributed

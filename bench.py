@@ -54,8 +54,8 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from crawler_ray.corpus import generate_corpus
     from crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
-    from crawler_ray.ops import crud, dedup, relational, similarity
-    from crawler_ray.ops import textstats
+    from crawler_ray.ops import crud, dedup, filtering, relational
+    from crawler_ray.ops import similarity, textstats
 
     bench_corpus, bench_work = _bench_dirs(n_pages, page_scale)
     # corpus generation is cached across runs (not part of the measurement)
@@ -132,6 +132,14 @@ def run_bench() -> dict:
         "pack_manifest": lambda: textstats.pack_manifest(sf_dir),
         "contamination_check":
             lambda: textstats.contamination_check(sf_dir),
+        # selection layer (round 4): CCNet line dedup (count pass +
+        # broadcast rebuild), Gopher quality gate, exact percentiles
+        "line_dedup": lambda: filtering.line_dedup(sf_dir),
+        "quality_filter": lambda: filtering.quality_filter(sf_dir),
+        "incremental_dedup":
+            lambda: filtering.incremental_dedup(sf_dir),
+        "length_percentiles":
+            lambda: filtering.length_percentiles(sf_dir),
     }
     for name, fn in suite.items():
         t0 = time.time()

@@ -111,7 +111,10 @@ def cmd_gen(args) -> int:
 
 _CURATE_PASSES = ("pii_scrub", "repetition_stats", "dataset_split",
                   "chunk_documents", "pack_manifest", "curate_corpus",
-                  "contamination_check")
+                  "contamination_check",
+                  # selection layer (ops/filtering.py)
+                  "line_dedup", "quality_filter", "source_quota",
+                  "stratified_sample", "incremental_dedup")
 
 
 def cmd_curate(args) -> int:
@@ -124,7 +127,7 @@ def cmd_curate(args) -> int:
     import os
     import shutil
 
-    from crawler_ray.ops import textstats
+    from crawler_ray.ops import filtering, textstats
     owned = _ray_init()
     try:
         passes = (args.passes.split(",") if args.passes
@@ -145,7 +148,9 @@ def cmd_curate(args) -> int:
             # over the partial output would duplicate rows — clear it first.
             if os.path.isdir(out_dir):
                 shutil.rmtree(out_dir)
-            ds = getattr(textstats, name)(args.sf_dir)
+            fn = getattr(textstats, name, None) \
+                or getattr(filtering, name)
+            ds = fn(args.sf_dir)
             ds.write_parquet(out_dir)
             with open(marker, "w"):
                 pass

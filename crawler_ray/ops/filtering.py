@@ -1,0 +1,546 @@
+"""Corpus-level filtering / sampling passes for training-data pipelines —
+the selection layer that sits between the per-doc scans (``textstats``)
+and the pair-building dedup family (``dedup``):
+
+- ``line_dedup``        — CCNet-style corpus-wide duplicated-line removal
+- ``quality_filter``    — Gopher-style composite quality gate
+- ``source_quota``      — per-source document cap (first-K by doc_id)
+- ``stratified_sample`` — deterministic per-language hash sampling
+- ``length_percentiles``— exact corpus length percentiles via histogram
+
+Every operator is a streaming Ray Data plan over the documents table and
+has a DuckDB twin in ``__ray_entry__.oracle_sql`` (rows+schema+hash
+checked by the driver at sf0.01).  The reference crawler has no corpus
+curation at all — these exist for the 100-TB training-data bar; the doc
+conventions (milli-scaled integer ratios, single token definition,
+broadcast-vs-join planner decisions) follow ``ops/textstats.py`` /
+``ops/dedup.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["line_dedup", "quality_filter", "source_quota",
+           "stratified_sample", "incremental_dedup",
+           "length_percentiles"]
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+# per-worker cache of the broadcast common-line hash array, keyed by the
+# ObjectRef hex (same pattern as textstats._VERDICT_IDX_CACHE)
+_COMMON_CACHE: dict = {}
+
+
+def line_dedup(sf_dir: str, min_count: int = 2,
+               broadcast_threshold: int = 5_000_000,
+               join_partitions: int | None = None):
+    """Corpus-wide duplicated-line removal (CCNet, Wenzek et al. 2020
+    §3.1): a line that occurs at least ``min_count`` times across the
+    whole corpus is boilerplate (nav bars, cookie banners, footers) and
+    every occurrence is dropped; empty lines are always kept (they are
+    structure, not content).  Output per document: (doc_id, n_lines,
+    n_dropped, text_clean) where ``text_clean`` re-joins the surviving
+    lines with ``\\n``.
+
+    Plan shape — count pass + rebuild pass, never a text shuffle in the
+    default path:
+
+    1. one scan explodes non-empty lines, hashes each to md5-low64
+       (``dedup._token_hashes`` — the per-worker vocabulary cache makes
+       repeated boilerplate nearly free), and pre-tallies per batch, so
+       only (8-byte hash, partial count) rows reach the global groupby;
+    2. common hashes (count >= min_count) come back as ONE sorted int64
+       array (md5-low64 bit-cast, the gram-hash convention) broadcast via ``ray.put`` when they fit under
+       ``broadcast_threshold``, and the rebuild scan drops lines by a
+       vectorized ``searchsorted`` membership test — text never leaves
+       its input block;
+    3. above the threshold (web scale: boilerplate is a large set) the
+       rebuild goes through the shuffle the problem genuinely requires —
+       explode (doc_id, li, line), ``left_anti``-join against the common
+       table on the hash, and re-assemble per doc ordered by li.  A
+       per-doc sentinel row (li = -1) survives every anti-join so
+       documents whose lines ALL drop still emit a row.  Both paths are
+       pinned identical in pytest.
+
+    Counting groups by the 64-bit line hash, not the line string — the
+    same documented ~2^-64 collision approximation as
+    ``ngram_jaccard_pairs``; the DuckDB twin groups by the string and
+    matches up to those collisions."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from crawler_ray.ops.dedup import (_join_partitions, _join_ready,
+                                       _token_hashes)
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = _rd().read_parquet(path, columns=["doc_id", "text"])
+
+    def _explode(t: pa.Table):
+        """(doc_ids, line_idx, flat_lines, n_lines_per_doc) for a batch."""
+        lines = pc.split_pattern(t["text"], "\n")
+        lens = pc.list_value_length(lines).to_numpy()
+        flat = pc.list_flatten(lines).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t["doc_id"].to_numpy(), lens)
+        # line index within its document
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        li = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        return doc_ids, li, flat, lens
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, _, flat, _ = _explode(t)
+        flat = flat[flat != ""]
+        if len(flat) == 0:
+            return pa.table({"line_hash": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        hashes = _token_hashes(flat.tolist())
+        uniq, counts = np.unique(hashes, return_counts=True)
+        # bit-cast to int64: Ray's hash shuffle keeps int64 columns
+        # zero-copy Arrow, while uint64 values above 2^63 degrade to
+        # pickled-object blocks (same convention as the gram hashes)
+        return pa.table({"line_hash": pa.array(uniq.view(np.int64),
+                                               pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("line_hash").aggregate(Sum("n", alias_name="n")))
+    common = counts.filter(expr=f"n >= {min_count}").materialize()
+    n_common = common.count()
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_lines", pa.int64()),
+                            ("n_dropped", pa.int64()),
+                            ("text_clean", pa.string())])
+
+    if n_common <= broadcast_threshold:
+        blocks = [b.select(["line_hash"])
+                  for b in ray.get(common.to_arrow_refs()) if b.num_rows]
+        arr = (pa.concat_tables(blocks)["line_hash"]
+               .combine_chunks().to_numpy(zero_copy_only=False)
+               if blocks else np.array([], dtype=np.int64))
+        common_ref = ray.put(np.sort(arr.astype(np.int64)))
+
+        def rebuild_broadcast(t: pa.Table) -> pa.Table:
+            srt = _COMMON_CACHE.get(common_ref.hex())
+            if srt is None:
+                _COMMON_CACHE.clear()
+                srt = ray.get(common_ref)
+                _COMMON_CACHE[common_ref.hex()] = srt
+            doc_ids, _, flat, lens = _explode(t)
+            nonempty = flat != ""
+            hashes = np.zeros(len(flat), dtype=np.uint64)
+            if nonempty.any():
+                hashes[nonempty] = _token_hashes(flat[nonempty].tolist())
+            hashes = hashes.view(np.int64)
+            # membership: sorted-array binary search (no per-call hash
+            # set rebuild); empty lines are never members
+            if len(srt):
+                pos = np.searchsorted(srt, hashes)
+                np.clip(pos, 0, len(srt) - 1, out=pos)
+                member = nonempty & (srt[pos] == hashes)
+            else:
+                member = np.zeros(len(flat), dtype=bool)
+            keep = ~member
+            # per-doc reassembly without Python loops: one big join of
+            # kept lines via np.add.reduceat over offsets is awkward for
+            # strings — a bounded pandas groupby does it in C
+            import pandas as pd
+            kept_doc = np.repeat(np.arange(len(lens)), lens)[keep]
+            joined = (pd.Series(flat[keep])
+                      .groupby(kept_doc).agg("\n".join)
+                      if keep.any() else pd.Series([], dtype=object))
+            text_clean = np.full(len(lens), "", dtype=object)
+            text_clean[joined.index.to_numpy()] = joined.to_numpy()
+            n_kept = np.bincount(kept_doc, minlength=len(lens)) \
+                if keep.any() else np.zeros(len(lens), dtype=np.int64)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "n_lines": pa.array(lens.astype(np.int64), pa.int64()),
+                "n_dropped": pa.array(lens - n_kept, pa.int64()),
+                "text_clean": pa.array(text_clean.tolist(), pa.string()),
+            })
+
+        return ds.map_batches(rebuild_broadcast, batch_format="pyarrow")
+
+    # at-scale path: explode + left_anti join + per-doc reassembly.
+    # Text genuinely shuffles here — that IS the CCNet shard shuffle;
+    # the join keys are 8-byte hashes and the common table never lands
+    # on the driver.
+    def explode_rows(t: pa.Table) -> pa.Table:
+        doc_ids, li, flat, lens = _explode(t)
+        hashes = np.zeros(len(flat), dtype=np.uint64)
+        nonempty = flat != ""
+        if nonempty.any():
+            hashes[nonempty] = _token_hashes(flat[nonempty].tolist())
+        hashes = hashes.view(np.int64)
+        # sentinel row per doc: survives every anti-join (hash 0 is the
+        # reserved empty-line value, never counted) and carries n_lines
+        out = pa.table({
+            "doc_id": pa.array(
+                np.concatenate([doc_ids, t["doc_id"].to_numpy()]),
+                pa.int64()),
+            "li": pa.array(
+                np.concatenate([li, np.full(t.num_rows, -1,
+                                            dtype=np.int64)]),
+                pa.int64()),
+            "line": pa.array(
+                np.concatenate([flat,
+                                np.full(t.num_rows, "", dtype=object)]
+                               ).tolist(), pa.string()),
+            "line_hash": pa.array(
+                np.concatenate([hashes,
+                                np.zeros(t.num_rows, dtype=np.int64)]),
+                pa.int64()),
+            "n_lines": pa.array(
+                np.concatenate([np.repeat(lens, lens),
+                                lens]).astype(np.int64), pa.int64()),
+        })
+        return out
+
+    exploded = ds.map_batches(explode_rows, batch_format="pyarrow")
+    common_r = _join_ready(
+        common.select_columns(["line_hash"]),
+        pa.schema([("line_hash", pa.int64())]))
+    n_parts = _join_partitions(join_partitions)
+    kept = exploded.join(common_r, "left_anti", num_partitions=n_parts,
+                         on=("line_hash",))
+
+    def reassemble(df):
+        import pandas as pd
+        df = df.sort_values("li")
+        real = df[df["li"] >= 0]
+        return pd.DataFrame({
+            "doc_id": [int(df["doc_id"].iloc[0])],
+            "n_lines": [int(df["n_lines"].iloc[0])],
+            "n_dropped": [int(df["n_lines"].iloc[0]) - len(real)],
+            "text_clean": ["\n".join(real["line"].tolist())],
+        })
+
+    return (kept.groupby("doc_id").map_groups(reassemble)
+            .map_batches(lambda t: t.cast(out_schema),
+                         batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gate
+# ---------------------------------------------------------------------------
+
+def quality_filter(sf_dir: str, min_words: int = 50,
+                   max_words: int = 100_000,
+                   min_mean_wlen_milli: int = 3_000,
+                   max_mean_wlen_milli: int = 10_000,
+                   max_top_share_milli: int = 200,
+                   max_dup_frac_milli: int = 300):
+    """Composite document quality gate — the Gopher rule family (Rae et
+    al. 2021, Appendix A1.1) re-derived over this suite's single token
+    definition (non-empty runs of a single-space split, as
+    ``repetition_stats``): word-count bounds, mean word length bounds
+    (milli-chars, floor division so the SQL twin is bit-exact), a cap on
+    the most-frequent word's share and on the duplicate-word fraction.
+    The FIRST failing rule, in that fixed order, names the verdict;
+    zero-token documents fail the word-count floor.  Output (doc_id,
+    n_words, mean_wlen_milli, top_share_milli, dup_frac_milli, reason).
+
+    One streaming scan; per batch the token spine is flattened once and
+    tallied with a composite pandas groupby (C loops), exactly the
+    ``repetition_stats`` shape plus a character-sum column."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        mask = flat != ""
+        flat, row_idx = flat[mask], row_idx[mask]
+
+        n = t.num_rows
+        total = np.zeros(n, dtype=np.int64)
+        distinct = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        chars = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            wlen = np.char.str_len(flat.astype(str))
+            df = pd.DataFrame({"r": row_idx, "w": flat, "c": wlen})
+            per_pair = df.groupby(["r", "w"], sort=False)["c"].agg(
+                ["size", "first"])
+            by_doc = per_pair.groupby(level=0, sort=False)
+            cnt = by_doc["size"]
+            idx = cnt.sum().index.to_numpy()
+            total[idx] = cnt.sum().to_numpy()
+            distinct[idx] = cnt.size().to_numpy()
+            top[idx] = cnt.max().to_numpy()
+            chars[idx] = np.bincount(row_idx, weights=wlen,
+                                     minlength=n)[idx].astype(np.int64)
+
+        safe = np.maximum(total, 1)
+        mean_wlen = 1000 * chars // safe
+        top_share = 1000 * top // safe
+        dup_frac = 1000 * (total - distinct) // safe
+
+        reason = np.full(n, "keep", dtype=object)
+        # reverse order so earlier rules overwrite later ones =>
+        # first-failing-rule-wins with pure vector stores
+        reason[dup_frac > max_dup_frac_milli] = "repetitive"
+        reason[top_share > max_top_share_milli] = "top_word"
+        reason[mean_wlen > max_mean_wlen_milli] = "long_words"
+        reason[mean_wlen < min_mean_wlen_milli] = "short_words"
+        reason[total > max_words] = "too_long"
+        reason[total < min_words] = "too_short"
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(total, pa.int64()),
+            "mean_wlen_milli": pa.array(mean_wlen, pa.int64()),
+            "top_share_milli": pa.array(top_share, pa.int64()),
+            "dup_frac_milli": pa.array(dup_frac, pa.int64()),
+            "reason": pa.array(reason.tolist(), pa.string()),
+        })
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-source quota
+# ---------------------------------------------------------------------------
+
+def source_quota(sf_dir: str, quota: int = 50):
+    """Per-source document cap — keep the first ``quota`` documents of
+    each source by ascending doc_id (the deterministic twin of "cap any
+    one domain's contribution to the training mix").  Output (doc_id,
+    source, rk) with rk the 1-based rank within the source.
+
+    Pre-aggregate before the shuffle: each batch keeps at most ``quota``
+    candidates per source it sees (a batch can never contribute more
+    winners than that), so the groupby shuffles a bounded candidate set
+    — O(sources x quota) rows per batch — never the corpus.  The final
+    per-source rank is a tiny ``map_groups`` over survivors."""
+    import pandas as pd
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = (df.sort_values("doc_id")
+              .groupby("source", sort=False).head(quota))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def rank(df):
+        df = df.sort_values("doc_id").head(quota).copy()
+        df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["doc_id", "source", "rk"]]
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("source").map_groups(rank))
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(sf_dir: str, default_permille: int = 100,
+                      overrides: dict[str, int] | None = None):
+    """Deterministic per-language subsampling — the data-mixing pass
+    that downsamples over-represented languages: a document is kept when
+    its hash bucket (the ``dataset_split`` rule: first 8 hex chars of
+    md5(doc_id as decimal string) mod 1000) falls below the language's
+    permille rate (``overrides`` per language, ``default_permille``
+    otherwise).  Output (doc_id, lang, bucket) for kept documents only.
+
+    Content-independent and stable under resharding (the same doc always
+    lands on the same side), and composable with ``dataset_split`` —
+    both read the same bucket, so sampling never moves a document across
+    train/test boundaries."""
+    import hashlib
+
+    rates = dict(overrides or {})
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+             for i in ids), dtype=np.int64, count=len(ids))
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        limit = np.fromiter((rates.get(l, default_permille)
+                             for l in langs),
+                            dtype=np.int64, count=len(langs))
+        keep = buckets < limit
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)[keep],
+                               pa.int64()),
+            "lang": pa.array(langs[keep].tolist(), pa.string()),
+            "bucket": pa.array(buckets[keep], pa.int64()),
+        })
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental (delta) dedup
+# ---------------------------------------------------------------------------
+
+_EXISTING_CACHE: dict = {}
+
+
+def incremental_dedup(sf_dir: str, existing_min_bucket: int = 200,
+                      broadcast_threshold: int = 5_000_000,
+                      join_partitions: int | None = None):
+    """Delta dedup — the append-only ingestion pass: documents arriving
+    in the INCOMING shard are kept only when their exact text hash does
+    not already exist in the EXISTING corpus.  The shards come from the
+    ``dataset_split`` bucket rule (existing = bucket >=
+    ``existing_min_bucket``, i.e. the train split; incoming = the
+    rest), so the operator is self-contained over one documents table
+    while modelling the real shape: new crawl shard vs corpus-so-far.
+    Output (doc_id, text_hash) for surviving incoming docs —
+    within-shard duplicates are exact_dedup's job, not this one's.
+
+    Plan: ONE hashing scan projects (doc_id, bucket, md5-hex,
+    md5-low64) and is materialized — hashes, never text — then both
+    sides filter from it.  The existing side reduces to DISTINCT 8-byte
+    bit-cast hashes; membership is the usual planner decision
+    (sorted-array broadcast under ``broadcast_threshold``, a
+    ``left_anti`` hash join above it; pytest pins the paths identical).
+    The 64-bit membership key carries the module's documented ~2^-64
+    collision approximation; the hex hash in the output is exact."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    from crawler_ray.ops.dedup import (_join_partitions, _join_ready,
+                                       _token_hashes)
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+             for i in ids), dtype=np.int64, count=len(ids))
+        digests = [hashlib.md5(s.encode("utf-8")).digest()
+                   for s in t["text"].to_pylist()]
+        h64 = np.fromiter((int.from_bytes(d[:8], "big") for d in digests),
+                          dtype=np.uint64,
+                          count=len(digests)).view(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "bucket": pa.array(buckets, pa.int64()),
+            "text_hash": pa.array([d.hex() for d in digests],
+                                  pa.string()),
+            "h64": pa.array(h64, pa.int64()),
+        })
+
+    from ray.data.aggregate import Count
+
+    hashed = ds.map_batches(project, batch_format="pyarrow").materialize()
+    # distributed DISTINCT (Dataset.unique would collect to the driver)
+    existing = (hashed.filter(expr=f"bucket >= {existing_min_bucket}")
+                .groupby("h64").aggregate(Count(alias_name="_n"))
+                .select_columns(["h64"]))
+    incoming = hashed.filter(expr=f"bucket < {existing_min_bucket}")
+
+    n_existing = existing.count()
+    if n_existing <= broadcast_threshold:
+        blocks = [b for b in ray.get(existing.to_arrow_refs())
+                  if b.num_rows]
+        arr = (pa.concat_tables(blocks)["h64"].combine_chunks()
+               .to_numpy(zero_copy_only=False)
+               if blocks else np.array([], dtype=np.int64))
+        ex_ref = ray.put(np.sort(arr.astype(np.int64)))
+
+        def anti_broadcast(t: pa.Table) -> pa.Table:
+            srt = _EXISTING_CACHE.get(ex_ref.hex())
+            if srt is None:
+                _EXISTING_CACHE.clear()
+                srt = ray.get(ex_ref)
+                _EXISTING_CACHE[ex_ref.hex()] = srt
+            h = t["h64"].to_numpy()
+            if len(srt):
+                pos = np.searchsorted(srt, h)
+                np.clip(pos, 0, len(srt) - 1, out=pos)
+                fresh = srt[pos] != h
+            else:
+                fresh = np.ones(len(h), dtype=bool)
+            return t.select(["doc_id", "text_hash"]).filter(
+                pa.array(fresh))
+
+        return incoming.map_batches(anti_broadcast,
+                                    batch_format="pyarrow")
+
+    existing_r = _join_ready(existing,
+                             pa.schema([("h64", pa.int64())]))
+    kept = incoming.join(existing_r, "left_anti",
+                         num_partitions=_join_partitions(join_partitions),
+                         on=("h64",))
+    return kept.select_columns(["doc_id", "text_hash"])
+
+
+# ---------------------------------------------------------------------------
+# exact length percentiles
+# ---------------------------------------------------------------------------
+
+def length_percentiles(sf_dir: str,
+                       pcts: tuple[int, ...] = (10, 25, 50, 75, 90, 99)):
+    """Exact corpus token-length percentiles — the curation dashboard
+    number behind every "cut at the p99 length" decision.  Percentile p
+    is the smallest length whose cumulative count reaches
+    ``ceil(p*N/100)`` (integer math: ``(p*N + 99) // 100``), so the
+    definition is rank-exact and SQL-replayable — no interpolation, no
+    sketch error.  Output (pct, n_tokens), one row per requested
+    percentile.
+
+    Distributed shape: the scan reduces to a (n_tokens -> count)
+    histogram via groupby — the shuffled aggregate is bounded by the
+    number of DISTINCT document lengths (<= max doc length, independent
+    of corpus size), so the driver-side cumsum over the histogram is a
+    few thousand rows even at 100 TB.  Token definition: the suite-wide
+    RE2 ``\\S+`` count."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table({"n_tokens": pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64())})
+
+    hist = (ds.map_batches(count, batch_format="pyarrow")
+            .groupby("n_tokens").aggregate(Count(alias_name="cnt"))
+            .take_all())
+    lengths = np.array([r["n_tokens"] for r in hist], dtype=np.int64)
+    counts = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    order = np.argsort(lengths)
+    lengths, counts = lengths[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    out_p, out_v = [], []
+    for p in pcts:
+        if n == 0:
+            continue
+        rank = (p * n + 99) // 100
+        out_p.append(int(p))
+        out_v.append(int(lengths[np.searchsorted(cum, rank)]))
+    return pa.table({"pct": pa.array(out_p, pa.int64()),
+                     "n_tokens": pa.array(out_v, pa.int64())})

@@ -1,0 +1,215 @@
+"""Unit tests for the corpus selection layer (``ops/filtering.py``):
+line-level dedup, the Gopher-style quality gate, per-source quotas,
+stratified sampling and exact length percentiles.
+
+The synthetic sf tables exercise the zero/default branches through the
+driver oracle; these tests plant the interesting shapes — boilerplate
+lines, all-dropped documents, each quality rule, skewed sources."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crawler_ray.ops import filtering  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts, langs=None, sources=None):
+    n = len(texts)
+    docs = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs or ["en"] * n, pa.string()),
+        "source": pa.array(sources or ["s0"] * n, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+# -- line_dedup --------------------------------------------------------------
+
+BOILER = "accept all cookies"
+
+
+@pytest.fixture()
+def lined_sf(tmp_path):
+    return _write_docs(tmp_path, [
+        f"{BOILER}\nreal content one\n\nfooter",   # boiler + empty kept
+        f"{BOILER}\nreal content two\nfooter",     # footer dup'd too
+        BOILER,                                    # ALL lines drop
+        "unique line only",                        # untouched
+        "",                                        # empty doc: one empty line
+    ])
+
+
+def test_line_dedup_planted(ray_session, lined_sf):
+    out = {r["doc_id"]: r
+           for r in filtering.line_dedup(lined_sf).take_all()}
+    assert len(out) == 5
+    # boilerplate and the duplicated footer drop; empty line survives
+    assert out[0]["text_clean"] == "real content one\n"
+    assert (out[0]["n_lines"], out[0]["n_dropped"]) == (4, 2)
+    assert out[1]["text_clean"] == "real content two"
+    assert (out[1]["n_lines"], out[1]["n_dropped"]) == (3, 2)
+    # a doc losing every line still emits a row
+    assert out[2]["text_clean"] == ""
+    assert (out[2]["n_lines"], out[2]["n_dropped"]) == (1, 1)
+    assert out[3]["text_clean"] == "unique line only"
+    assert out[3]["n_dropped"] == 0
+    # empty doc: its single empty line is structure, always kept
+    assert (out[4]["n_lines"], out[4]["n_dropped"]) == (1, 0)
+    assert out[4]["text_clean"] == ""
+
+
+def test_line_dedup_join_path_equivalent(ray_session, lined_sf):
+    """broadcast_threshold=0 forces the explode + left_anti join path;
+    both paths must be bit-identical (including the all-dropped doc,
+    which only survives the join path via the li=-1 sentinel row)."""
+    bc = sorted(filtering.line_dedup(lined_sf).take_all(),
+                key=lambda r: r["doc_id"])
+    jn = sorted(filtering.line_dedup(lined_sf,
+                                     broadcast_threshold=0).take_all(),
+                key=lambda r: r["doc_id"])
+    assert bc == jn
+
+
+def test_line_dedup_min_count(ray_session, lined_sf):
+    """min_count=3 only drops the thrice-repeated boilerplate, not the
+    twice-repeated footer."""
+    out = {r["doc_id"]: r
+           for r in filtering.line_dedup(lined_sf,
+                                         min_count=3).take_all()}
+    assert out[0]["text_clean"] == "real content one\n\nfooter"
+    assert out[0]["n_dropped"] == 1
+    assert out[2]["text_clean"] == ""
+
+
+# -- quality_filter ----------------------------------------------------------
+
+def test_quality_filter_rules(ray_session, tmp_path):
+    words50 = " ".join(f"w{i:02d}khj" for i in range(50))
+    sf = _write_docs(tmp_path, [
+        words50,                              # 0: keep
+        "too short",                          # 1: too_short
+        " ".join(["aa"] * 60),                # 2: short_words beats top/dup
+        " ".join(["averyverylongword" + str(i) for i in range(60)]),
+        # 4: top word 20/59 > 200 milli, lengths in range
+        " ".join(["topw"] * 20 + [f"w{i:02d}khj" for i in range(39)]),
+        "",                                   # 5: zero tokens -> too_short
+    ])
+    out = {r["doc_id"]: r
+           for r in filtering.quality_filter(sf).take_all()}
+    assert out[0]["reason"] == "keep"
+    assert out[1]["reason"] == "too_short"
+    assert out[2]["reason"] == "short_words"   # mean len 2000 < 3000
+    assert out[3]["reason"] == "long_words"
+    assert out[4]["reason"] == "top_word"
+    assert out[5] == {"doc_id": 5, "n_words": 0, "mean_wlen_milli": 0,
+                      "top_share_milli": 0, "dup_frac_milli": 0,
+                      "reason": "too_short"}
+
+
+def test_quality_filter_repetitive(ray_session, tmp_path):
+    # 60 words, 30 distinct -> dup_frac 500 > 300; top share 2/60=33
+    sf = _write_docs(tmp_path, [
+        " ".join(f"w{i:02d}khj" for i in list(range(30)) * 2)])
+    out = filtering.quality_filter(sf).take_all()
+    assert out[0]["reason"] == "repetitive"
+    assert out[0]["dup_frac_milli"] == 500
+
+
+# -- source_quota ------------------------------------------------------------
+
+def test_source_quota_skew(ray_session, tmp_path):
+    # source A: 120 docs, B: 3 docs; quota 50 keeps the 50 smallest ids
+    sources = ["A"] * 120 + ["B"] * 3
+    sf = _write_docs(tmp_path, ["x"] * 123, sources=sources)
+    rows = filtering.source_quota(sf, quota=50).take_all()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["rk"], r["doc_id"]))
+    assert len(by_src["A"]) == 50
+    assert sorted(by_src["A"]) == [(i + 1, i) for i in range(50)]
+    assert sorted(by_src["B"]) == [(1, 120), (2, 121), (3, 122)]
+
+
+# -- stratified_sample -------------------------------------------------------
+
+def test_stratified_sample_overrides(ray_session, tmp_path):
+    langs = (["en"] * 100) + (["fa"] * 100)
+    sf = _write_docs(tmp_path, ["x"] * 200, langs=langs)
+    rows = filtering.stratified_sample(
+        sf, default_permille=0, overrides={"fa": 1000}).take_all()
+    # en sampled at 0 permille -> none; fa at 1000 -> all
+    assert {r["lang"] for r in rows} == {"fa"}
+    assert len(rows) == 100
+    # determinism + composability: kept set == dataset_split buckets
+    from crawler_ray.ops.textstats import dataset_split
+    buckets = {r["doc_id"]: r["bucket"]
+               for r in dataset_split(sf).take_all()}
+    for r in rows:
+        assert buckets[r["doc_id"]] == r["bucket"]
+
+
+# -- incremental_dedup -------------------------------------------------------
+
+def test_incremental_dedup_planted(ray_session, tmp_path):
+    """Incoming docs whose exact text already exists in the corpus are
+    dropped; fresh ones survive.  Bucket rule: md5(doc_id) mod 1000 —
+    doc_ids are chosen so the fixture has both sides populated."""
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+
+    ids = list(range(40))
+    existing_ids = [i for i in ids if bucket(i) >= 200]
+    incoming_ids = [i for i in ids if bucket(i) < 200]
+    assert existing_ids and incoming_ids
+    dup_id, fresh_id = incoming_ids[0], incoming_ids[-1]
+    texts = {i: f"existing text {i}" for i in existing_ids}
+    texts[dup_id] = texts[existing_ids[0]]        # exact dup of corpus
+    for i in incoming_ids[1:]:
+        texts[i] = f"fresh text {i}"
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids], pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    out = {r["doc_id"] for r in filtering.incremental_dedup(sf).take_all()}
+    assert dup_id not in out
+    assert out == set(incoming_ids) - {dup_id}
+    assert fresh_id in out
+
+    # forced join path is bit-identical
+    jn = {r["doc_id"] for r in filtering.incremental_dedup(
+        sf, broadcast_threshold=0).take_all()}
+    assert jn == out
+
+
+# -- length_percentiles ------------------------------------------------------
+
+def test_length_percentiles_exact(ray_session, tmp_path):
+    # 100 docs with 1..100 tokens: pct p -> ceil(p) rank -> length p
+    sf = _write_docs(tmp_path,
+                     [" ".join(["w"] * n) for n in range(1, 101)])
+    t = filtering.length_percentiles(sf)
+    got = {p: v for p, v in zip(t["pct"].to_pylist(),
+                                t["n_tokens"].to_pylist())}
+    assert got == {10: 10, 25: 25, 50: 50, 75: 75, 90: 90, 99: 99}
+
+
+def test_length_percentiles_sf(ray_session):
+    t = filtering.length_percentiles(SF_DIR)
+    vals = t["n_tokens"].to_pylist()
+    assert vals == sorted(vals) and len(vals) == 6

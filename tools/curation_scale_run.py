@@ -13,6 +13,20 @@ wall time plus cross-op invariant checks computed DISTRIBUTEDLY:
   (the two-level prefix sum closed the telescope exactly)
 - contamination rows == number of train-split docs with >= 1 trigram
 
+Round 4 extends the corpus to multi-line documents with planted
+boilerplate (a shared cookie-banner line in ~1/3 of docs, a shared
+footer in ~1/4) plus lang/source columns, and adds the selection-layer
+passes with their own distributed invariants:
+
+- line_dedup: recounting the lines of text_clean over the CLEANED
+  corpus must show every surviving line below min_count (end-to-end
+  proof that no common line survived), and sum(n_lines) must equal the
+  corpus's total line count
+- quality_filter: rows == N and the word-count floor is exact vs a
+  DuckDB replay of the rule
+- source_quota / stratified_sample / length_percentiles: bit-equal to
+  full DuckDB window/hash replays over the corpus
+
 Usage:  PYTHONPATH=/root/repo python tools/curation_scale_run.py
 Env:    GRAFT_CUR_DOCS (default 1_000_000), RAY_GRAFT_CPUS (default 32)
 Output: one JSON line.  Scratch under /tmp.
@@ -26,7 +40,7 @@ import shutil
 import time
 
 N_DOCS = int(os.environ.get("GRAFT_CUR_DOCS", "1000000"))
-WORK = f"/tmp/curation_scale_{N_DOCS}"
+WORK = f"/tmp/curation_scale_{N_DOCS}_v2"
 
 VOCAB = ("the fast key order sort table scan merge part window small "
          "hash join batch stream value data agg query filter group "
@@ -47,6 +61,10 @@ def gen_documents(sf_dir: str) -> None:
         return
     shutil.rmtree(sf_dir, ignore_errors=True)
 
+    BANNER = "accept all cookies to continue"
+    FOOTER = "copyright example site all rights reserved"
+    LANGS = ("en", "fa", "de", "es")
+
     def render(batch):
         ids = batch["id"].to_numpy()
         texts = []
@@ -55,9 +73,24 @@ def gen_documents(sf_dir: str) -> None:
             s = _splitmix64(np.uint64(i) + np.uint64(0x5EED))
             rng = np.random.default_rng(int(s))
             n = int(rng.integers(20, 120))
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab), n)]))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "text": pa.array(texts, pa.string())})
+            words = vocab[rng.integers(0, len(vocab), n)]
+            # multi-line body: ~10-word lines so line_dedup has real
+            # per-doc structure (word-soup lines are essentially unique)
+            lines = [" ".join(words[j:j + 10])
+                     for j in range(0, n, 10)]
+            if i % 3 == 0:
+                lines.insert(0, BANNER)
+            if i % 4 == 1:
+                lines.append(FOOTER)
+            texts.append("\n".join(lines))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([LANGS[int(i) % len(LANGS)] for i in ids],
+                             pa.string()),
+            "source": pa.array([f"s{int(i) % 1009}" for i in ids],
+                               pa.string()),
+        })
 
     (rd.range(N_DOCS)
      .map_batches(render, batch_size=8192, batch_format="pyarrow")
@@ -78,7 +111,7 @@ def main() -> None:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    from crawler_ray.ops import textstats
+    from crawler_ray.ops import filtering, textstats
 
     sf = os.path.join(WORK, "sf")
     t0 = time.time()
@@ -89,14 +122,20 @@ def main() -> None:
     sums = {}
     for name in ("pii_scrub", "repetition_stats", "dataset_split",
                  "chunk_documents", "pack_manifest", "top_bigrams",
-                 "contamination_check"):
+                 "contamination_check", "line_dedup", "quality_filter",
+                 "source_quota", "stratified_sample",
+                 "incremental_dedup"):
         sink = os.path.join(WORK, "out", name)
         shutil.rmtree(sink, ignore_errors=True)
         t0 = time.time()
-        ds = getattr(textstats, name)(sf)
+        fn = getattr(textstats, name, None) or getattr(filtering, name)
+        ds = fn(sf)
         ds.write_parquet(sink)
         out["passes"][name] = round(time.time() - t0, 1)
         sums[name] = sink
+    t0 = time.time()
+    pctl = filtering.length_percentiles(sf)
+    out["passes"]["length_percentiles"] = round(time.time() - t0, 1)
 
     # -- distributed invariant checks (duckdb over the sinks) -------------
     import duckdb
@@ -122,10 +161,90 @@ def main() -> None:
         "pack_rows": int(pack[2]),
         "contaminated_train_docs": [int(cont[0]), int(cont[1])],
     }
+    docs_pq = f"{sf}/documents.parquet/*.parquet"
+    # line_dedup: total line conservation + no common line survives
+    ld = q(f"SELECT sum(n_lines), sum(n_dropped), count(*) FROM "
+           f"read_parquet('{sums['line_dedup']}/*.parquet')").fetchone()
+    corpus_lines = q(
+        f"SELECT sum(len(string_split(text, chr(10)))) FROM "
+        f"read_parquet('{docs_pq}')").fetchone()
+    max_resurvive = q(
+        f"SELECT COALESCE(max(n), 0) FROM ("
+        f"  SELECT line, count(*) AS n FROM ("
+        f"    SELECT unnest(string_split(text_clean, chr(10))) AS line"
+        f"    FROM read_parquet('{sums['line_dedup']}/*.parquet'))"
+        f"  WHERE line <> '' GROUP BY line)").fetchone()
+    # quality_filter: row conservation + exact word-count floor
+    qf = q(f"SELECT count(*),"
+           f" sum((reason = 'too_short' AND n_words < 50)::BIGINT),"
+           f" sum((n_words < 50)::BIGINT) FROM "
+           f"read_parquet('{sums['quality_filter']}/*.parquet')"
+           ).fetchone()
+    # source_quota: bit-equal to the DuckDB window replay
+    quota_diff = q(
+        f"SELECT count(*) FROM ("
+        f"  (SELECT doc_id, source, rk FROM"
+        f"     (SELECT doc_id, source, ROW_NUMBER() OVER"
+        f"        (PARTITION BY source ORDER BY doc_id) AS rk"
+        f"      FROM read_parquet('{docs_pq}')) WHERE rk <= 50)"
+        f"  EXCEPT"
+        f"  (SELECT doc_id, source, rk FROM"
+        f"     read_parquet('{sums['source_quota']}/*.parquet')))"
+        ).fetchone()
+    # incremental_dedup: bit-equal to the full-md5 NOT IN replay
+    incr_diff = q(
+        f"SELECT count(*) FROM ("
+        f"  (WITH b AS (SELECT doc_id, text,"
+        f"       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"         ::BIGINT % 1000 AS bucket"
+        f"     FROM read_parquet('{docs_pq}')),"
+        f"   ex AS (SELECT DISTINCT md5(text) AS h FROM b"
+        f"          WHERE bucket >= 200)"
+        f"   SELECT doc_id, md5(text) AS text_hash FROM b"
+        f"   WHERE bucket < 200"
+        f"     AND md5(text) NOT IN (SELECT h FROM ex))"
+        f"  EXCEPT"
+        f"  (SELECT doc_id, text_hash FROM"
+        f"     read_parquet('{sums['incremental_dedup']}/*.parquet')))"
+        ).fetchone()
+    # stratified_sample: bit-equal to the md5-bucket replay
+    strat_diff = q(
+        f"SELECT count(*) FROM ("
+        f"  (SELECT doc_id, lang, bucket FROM"
+        f"     (SELECT doc_id, lang,"
+        f"        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"          ::BIGINT % 1000 AS bucket"
+        f"      FROM read_parquet('{docs_pq}')) WHERE bucket < 100)"
+        f"  EXCEPT"
+        f"  (SELECT doc_id, lang, bucket FROM"
+        f"     read_parquet('{sums['stratified_sample']}/*.parquet')))"
+        ).fetchone()
+    out["invariants"].update({
+        "line_dedup_rows": int(ld[2]),
+        "line_total_equal": int(ld[0]) == int(corpus_lines[0]),
+        "lines_dropped": int(ld[1]),
+        "no_common_line_survives": int(max_resurvive[0]) < 2,
+        "quality_rows": int(qf[0]),
+        "quality_floor_exact": int(qf[1]) == int(qf[2]),
+        "source_quota_replay_diff": int(quota_diff[0]),
+        "incremental_replay_diff": int(incr_diff[0]),
+        "stratified_replay_diff": int(strat_diff[0]),
+        "length_percentiles": dict(zip(pctl["pct"].to_pylist(),
+                                       pctl["n_tokens"].to_pylist())),
+    })
     ok = (out["invariants"]["chunk_tokens_equal"]
           and out["invariants"]["pack_tokens_equal"]
           and out["invariants"]["pack_telescope_closed"]
-          and out["invariants"]["pack_rows"] == N_DOCS)
+          and out["invariants"]["pack_rows"] == N_DOCS
+          and out["invariants"]["line_dedup_rows"] == N_DOCS
+          and out["invariants"]["line_total_equal"]
+          and out["invariants"]["lines_dropped"] > 0
+          and out["invariants"]["no_common_line_survives"]
+          and out["invariants"]["quality_rows"] == N_DOCS
+          and out["invariants"]["quality_floor_exact"]
+          and out["invariants"]["source_quota_replay_diff"] == 0
+          and out["invariants"]["incremental_replay_diff"] == 0
+          and out["invariants"]["stratified_replay_diff"] == 0)
     out["invariants_ok"] = bool(ok)
     print(json.dumps(out))
     ray.shutdown()
