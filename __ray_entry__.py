@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota": filtering.source_quota,
         "stratified_sample": filtering.stratified_sample,
         "incremental_dedup": filtering.incremental_dedup,
+        "normalize_text": filtering.normalize_text,
         "length_percentiles": filtering.length_percentiles,
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
@@ -989,6 +990,17 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             WHERE bucket < 200
               AND md5(text) NOT IN (SELECT h FROM ex)
+        """,
+        # literal replay of ops/filtering.py:normalize_text — NFC, then
+        # RE2 \s+ collapse, then edge-space strip, on both engines
+        "normalize_text": r"""
+            SELECT doc_id, text_norm, text_norm != text AS changed
+            FROM (
+                SELECT doc_id, text,
+                       regexp_replace(regexp_replace(
+                           nfc_normalize(text), '\s+', ' ', 'g'),
+                           '^ +| +$', '', 'g') AS text_norm
+                FROM documents)
         """,
         # literal replay of ops/filtering.py:length_percentiles —
         # rank-exact percentile over the n_tokens histogram, rank =

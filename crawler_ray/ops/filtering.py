@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["line_dedup", "quality_filter", "source_quota",
-           "stratified_sample", "incremental_dedup",
+           "stratified_sample", "incremental_dedup", "normalize_text",
            "length_percentiles"]
 
 
@@ -391,6 +391,56 @@ def stratified_sample(sf_dir: str, default_permille: int = 100,
         })
 
     return ds.map_batches(sample, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text normalization
+# ---------------------------------------------------------------------------
+
+def normalize_text(sf_dir: str):
+    """Canonical text normalization — the pass that runs BEFORE any
+    hash-based dedup so visually-identical documents actually collide:
+    Unicode NFC composition, ASCII-whitespace runs collapsed to one
+    space, leading/trailing spaces stripped.  Output (doc_id,
+    text_norm, changed).
+
+    The whitespace steps are Arrow RE2 kernels; NFC runs through
+    ``unicodedata`` on the non-ASCII MINORITY only — pyarrow 16's
+    ``utf8_normalize`` decomposes for every ``form`` value (it cannot
+    compose), so it is unusable for NFC, and an ASCII string (byte
+    length == codepoint length, one vectorized compare) is NFC by
+    definition, which on webtext leaves only a few percent of rows for
+    the Python call.  DuckDB's nfc_normalize and RE2 regexp_replace
+    replay the exact same transforms; RE2's ``\\s`` is ASCII whitespace
+    on both sides (NBSP et al. survive — the lang/token ops already
+    treat them consistently)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        nonascii = np.flatnonzero(
+            pc.not_equal(pc.binary_length(text),
+                         pc.utf8_length(text)).to_numpy(
+                             zero_copy_only=False))
+        if len(nonascii):
+            vals = text.to_pylist()
+            for i in nonascii:
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+            text = pa.array(vals, pa.string())
+        x = pc.replace_substring_regex(text, r"\s+", " ")
+        x = pc.replace_substring_regex(x, r"^ +| +$", "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_norm": x,
+            "changed": pc.not_equal(x, t["text"]),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

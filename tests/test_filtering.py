@@ -197,6 +197,24 @@ def test_incremental_dedup_planted(ray_session, tmp_path):
     assert jn == out
 
 
+# -- normalize_text ----------------------------------------------------------
+
+def test_normalize_text_planted(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, [
+        "étude  has\t\ttabs\nand newlines ",  # NFC + collapse + trim
+        "already clean",
+        " nbsp stays ",                   # NBSP is not RE2 \s
+    ])
+    out = {r["doc_id"]: r
+           for r in filtering.normalize_text(sf).take_all()}
+    assert out[0]["text_norm"] == "étude has tabs and newlines"
+    assert out[0]["changed"] is True
+    assert out[1]["text_norm"] == "already clean"
+    assert out[1]["changed"] is False
+    assert out[2]["text_norm"] == " nbsp stays "
+    assert out[2]["changed"] is False
+
+
 # -- length_percentiles ------------------------------------------------------
 
 def test_length_percentiles_exact(ray_session, tmp_path):
