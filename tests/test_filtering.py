@@ -92,6 +92,50 @@ def test_line_dedup_min_count(ray_session, lined_sf):
     assert out[2]["text_clean"] == ""
 
 
+# -- _exchange_common_keys ---------------------------------------------------
+
+def test_exchange_common_keys_matches_naive(ray_session):
+    """The hash-range exchange equals a naive global tally, including
+    keys at the int64 extremes (range-cut edges) and across many
+    partial blocks."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    # skewed keys spanning the full int64 range, split over 10 blocks
+    keys = np.concatenate([
+        rng.integers(-2**63, 2**63, 3000, dtype=np.int64),
+        rng.choice(np.array([-2**63, 2**63 - 1, 0, -1, 42],
+                            dtype=np.int64), 500),
+    ])
+    tables = []
+    for chunk in np.array_split(keys, 10):
+        u, c = np.unique(chunk, return_counts=True)
+        tables.append(pa.table({"k": pa.array(u, pa.int64()),
+                                "n": pa.array(c, pa.int64())}))
+    part = rd.from_arrow(tables).materialize()
+    total, refs = filtering._exchange_common_keys(part, "k", "n", 2)
+    got = np.concatenate([t["k"].to_numpy() for t in ray.get(refs)])
+    u, c = np.unique(keys, return_counts=True)
+    want = u[c >= 2]
+    assert total == len(want)
+    assert np.array_equal(np.sort(got), want)
+    assert np.array_equal(got, np.sort(got))  # range order == sorted
+
+    # min_count=1 is the distinct reduction
+    total1, refs1 = filtering._exchange_common_keys(part, "k", "n", 1)
+    assert total1 == len(u)
+
+    # empty input keeps a typed schema for downstream joins
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                    "n": pa.array([], pa.int64())})
+                          ).materialize()
+    t0, r0 = filtering._exchange_common_keys(empty, "k", "n", 2)
+    assert t0 == 0
+    assert ray.get(r0[0]).schema.field("k").type == pa.int64()
+
+
 # -- quality_filter ----------------------------------------------------------
 
 def test_quality_filter_rules(ray_session, tmp_path):
