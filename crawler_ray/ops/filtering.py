@@ -32,83 +32,11 @@ def _rd():
     return rd
 
 
-# ---------------------------------------------------------------------------
-# hash-range exchange (shared by line_dedup / incremental_dedup)
-# ---------------------------------------------------------------------------
-
-def _exchange_common_keys(part, key_col: str, cnt_col: str,
-                          min_count: int, num_ranges: int | None = None):
-    """Compute the int64 keys whose GLOBAL count >= ``min_count`` from a
-    materialized Dataset of per-batch partial tables — the
-    "mostly-unique keys" reduction where Ray's groupby is pathological:
-    a sort aggregate over 7.3M per-batch-unique line hashes measured
-    41 s at 1M docs, and the HASH_SHUFFLE strategy measured 3x worse
-    still (123 s), because both pay full-shuffle machinery to discover
-    that almost every group has one element.  This helper is the raw
-    two-stage exchange the problem actually needs (the brief's
-    "raw Ray tasks as a last resort" case): per-block range split by
-    ``searchsorted`` (requires each partial block sorted by the int64
-    key with per-block-unique keys — the ``np.unique``-partial contract)
-    fanning out to K combiners, each doing ONE argsort + ``reduceat``
-    over its ~total/K rows and emitting only qualifying keys.  Same
-    shape at any scale: bytes moved = the partial tables, once.
-
-    Returns ``(total_common, refs)`` where ``refs`` are per-range
-    single-column pa.Table ObjectRefs, globally sorted across the range
-    order — feed them to ``ray.data.from_arrow_refs`` for a join side
-    or ``ray.get`` + concatenate (bounded by the caller's broadcast
-    threshold) for a sorted membership array.  Keys never touch the
-    driver here."""
-    import ray
-
-    blocks = [block_ref
-              for bundle in part.iter_internal_ref_bundles()
-              for block_ref, meta in bundle.blocks
-              if (meta.num_rows or 0) > 0]
-    empty = pa.table({key_col: pa.array([], pa.int64())})
-    if not blocks:
-        return 0, [ray.put(empty)]
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    k = num_ranges or max(2, min(64, cpus, len(blocks)))
-    cuts = np.linspace(-2.0**63, 2.0**63, k + 1)[1:-1].astype(np.int64)
-
-    @ray.remote
-    def split(t: pa.Table):
-        keys = t[key_col].to_numpy()
-        cnts = t[cnt_col].to_numpy()
-        idx = np.searchsorted(keys, cuts)
-        bounds = np.concatenate([[0], idx, [len(keys)]])
-        return tuple((keys[bounds[i]:bounds[i + 1]],
-                      cnts[bounds[i]:bounds[i + 1]])
-                     for i in range(k))
-
-    @ray.remote(num_returns=2)
-    def combine(*shards):
-        ks = np.concatenate([s[0] for s in shards])
-        if not len(ks):
-            return 0, empty
-        cs = np.concatenate([s[1] for s in shards])
-        order = np.argsort(ks, kind="stable")
-        ks, cs = ks[order], cs[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], ks[1:] != ks[:-1]]))
-        sums = np.add.reduceat(cs, starts)
-        out = ks[starts][sums >= min_count]
-        return len(out), pa.table({key_col: pa.array(out, pa.int64())})
-
-    split_refs = [split.options(num_returns=k).remote(b)
-                  for b in blocks]
-    # transpose: range r gets shard r of every block (k >= 2 always,
-    # so Ray unpacks the split returns into per-range refs)
-    per_range = [[sr[r] for sr in split_refs] for r in range(k)]
-    counts, refs = zip(*[combine.remote(*per_range[r]) for r in range(k)])
-    counts = ray.get(list(counts))
-    total = int(sum(counts))
-    kept = [r for c, r in zip(counts, refs) if c > 0]
-    # range order == global int64 order, so the kept refs concatenate
-    # into a globally sorted key sequence; keep one typed empty table
-    # when nothing qualified (downstream joins need a schema)
-    return total, (kept or [refs[0]])
+# the hash-range exchange lives in ops/exchange.py (shared with
+# textstats); see its module docstring for the measured sort-aggregate
+# vs exchange comparison that motivated it
+from crawler_ray.ops.exchange import (  # noqa: E402
+    exchange_common_keys as _exchange_common_keys)
 
 
 # ---------------------------------------------------------------------------

@@ -443,14 +443,22 @@ def repetition_stats(sf_dir: str):
 def top_bigrams(sf_dir: str, k: int = 50):
     """Corpus-wide top-k word bigrams — the canonical
     pre-aggregate-before-shuffle pattern: each batch tallies its own
-    bigram counts (a pandas value_counts over the flattened token
-    stream), so only (bigram, partial_count) rows — bounded by distinct
-    bigrams per batch, not corpus size — reach the global groupby.  The
-    final sort+limit runs on the already-tiny aggregate.  Ties break by
-    bigram ascending so the result is deterministic.  Output (bigram, n),
-    n descending."""
+    bigram counts (integer-code factorize + np.unique), so only
+    (hash, partial_count, bigram) rows — bounded by distinct bigrams
+    per batch, not corpus size — reach the hash-range exchange
+    (``ops/exchange.py``; the sort-based groupby this replaced measured
+    57 s at 1M docs for a 97k-group result, the exchange ~3 s).  Ranges
+    partition the key space, so each combiner takes its own top-k and
+    the driver merges K*k rows.  Keys are md5-low64 bigram hashes with
+    the module's documented ~2^-64 collision approximation; ties break
+    by bigram ascending so the result is deterministic.  Output
+    (bigram, n), n descending."""
     import pandas as pd
     import pyarrow.compute as pc
+    import ray
+
+    from crawler_ray.ops.dedup import _token_hashes
+    from crawler_ray.ops.exchange import exchange_reduce
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
@@ -477,16 +485,30 @@ def top_bigrams(sf_dir: str, k: int = 50):
         uk, counts = np.unique(key, return_counts=True)
         bg = (pd.Series(uniques[uk // len(uniques)])
               .str.cat(pd.Series(uniques[uk % len(uniques)]), sep=" "))
-        return pa.table({"bigram": pa.array(bg, pa.string()),
-                         "n": pa.array(counts, pa.int64())})
+        h = _token_hashes(list(bg)).view(np.int64)
+        order = np.argsort(h)
+        return pa.table({
+            "h": pa.array(h[order], pa.int64()),
+            "n": pa.array(counts[order], pa.int64()),
+            "bigram": pa.array(bg, pa.string()).take(pa.array(order)),
+        })
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("bigram").sum("n"))
-    # rename sum(n) -> n and take the deterministic top-k
-    agg = agg.map_batches(
-        lambda t: pa.table({"bigram": t["bigram"], "n": t["sum(n)"]}),
-        batch_format="pyarrow")
-    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+    def topk_range(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        if t.num_rows > k:
+            idx = pc2.sort_indices(
+                t, sort_keys=[("n", "descending"),
+                              ("bigram", "ascending")])[:k]
+            t = t.take(idx)
+        return t
+
+    part = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    _, refs = exchange_reduce(part, "h", sum_cols=("n",),
+                              first_cols=("bigram",), finish=topk_range)
+    merged = pa.concat_tables(ray.get(refs)).select(["bigram", "n"])
+    idx = pc.sort_indices(merged, sort_keys=[("n", "descending"),
+                                             ("bigram", "ascending")])[:k]
+    return _rd().from_arrow(merged.take(idx))
 
 
 def dataset_split(sf_dir: str, test_permille: int = 100,
@@ -675,6 +697,8 @@ def contamination_check(sf_dir: str, n: int = 3,
 
     from crawler_ray.ops.dedup import (_join_partitions, _join_ready,
                                        _splitmix64, _token_hashes)
+    from crawler_ray.ops.exchange import (exchange_common_keys,
+                                          exchange_reduce)
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
@@ -721,13 +745,17 @@ def contamination_check(sf_dir: str, n: int = 3,
         buckets = _split_mask(t["doc_id"].to_pylist())
         sub = t.filter(pa.array(buckets < 100))
         _, g = _doc_grams(sub)
-        return pa.table({"g": pa.array(np.unique(g), pa.int64())})
+        u = np.unique(g)  # sorted int64, unique — the exchange contract
+        return pa.table({"g": pa.array(u, pa.int64()),
+                         "n": pa.array(np.ones(len(u), np.int64),
+                                       pa.int64())})
 
-    bench = (ds.map_batches(test_grams, batch_format="pyarrow")
-             .groupby("g").count())
-    bench = _join_ready(bench, pa.schema([("g", pa.int64()),
-                                          ("count()", pa.int64())]))
-    n_bench = bench.count()
+    # distinct bench grams via the hash-range exchange (the sort-based
+    # groupby this replaced paid full-shuffle cost on mostly-unique
+    # gram hashes; see ops/exchange.py for measurements)
+    bench_part = ds.map_batches(test_grams,
+                                batch_format="pyarrow").materialize()
+    n_bench, bench_refs = exchange_common_keys(bench_part, "g", "n", 1)
 
     def train_doc_grams(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -741,11 +769,10 @@ def contamination_check(sf_dir: str, n: int = 3,
     train = ds.map_batches(train_doc_grams, batch_format="pyarrow")
 
     if n_bench <= broadcast_threshold:
-        blocks = [b.select(["g"]) for b in ray.get(bench.to_arrow_refs())
-                  if b.num_rows]
-        gs = (np.sort(pa.concat_tables(blocks)["g"].to_numpy())
-              if blocks else np.array([], dtype=np.int64))
-        gs_ref = ray.put(gs)
+        # range order == global order: the concat is already sorted
+        gs = np.concatenate(
+            [t["g"].to_numpy() for t in ray.get(bench_refs)])
+        gs_ref = ray.put(gs.astype(np.int64, copy=False))
 
         def count_broadcast(t: pa.Table) -> pa.Table:
             s = ray.get(gs_ref)  # sorted int64, zero-copy from plasma
@@ -767,18 +794,19 @@ def contamination_check(sf_dir: str, n: int = 3,
                     pa.int64()),
             })
 
-        # per-batch partials then a sum-combine: a doc's grams can span
-        # batch boundaries
-        part = train.map_batches(count_broadcast, batch_format="pyarrow")
-        agg = part.groupby("doc_id").sum(["n_grams", "n_contaminated"])
-        return agg.map_batches(
-            lambda t: pa.table({
-                "doc_id": t["doc_id"],
-                "n_grams": t["sum(n_grams)"],
-                "n_contaminated": t["sum(n_contaminated)"]}),
-            batch_format="pyarrow")
+        # per-batch partials then a sum-combine (a doc's grams can span
+        # batch boundaries) — the per-doc sum is again the
+        # mostly-singleton-groups shape, so it goes through the
+        # exchange too; count_broadcast's np.unique doc ids satisfy the
+        # sorted-unique partial contract
+        part = (train.map_batches(count_broadcast,
+                                  batch_format="pyarrow").materialize())
+        _, out_refs = exchange_reduce(
+            part, "doc_id", sum_cols=("n_grams", "n_contaminated"))
+        return _rd().from_arrow_refs(out_refs)
 
     # join path: (doc_id, g) x bench grams — nothing lands on the driver
+    bench = _rd().from_arrow_refs(bench_refs)
     parts = _join_partitions(join_partitions, approx_rows=n_bench)
     train_r = _join_ready(train.groupby(["doc_id", "g"]).count(),
                           pa.schema([("doc_id", pa.int64()),
