@@ -41,14 +41,16 @@ __all__ = ["exchange_reduce", "exchange_common_keys"]
 
 def exchange_reduce(part, key_col: str,
                     sum_cols: Sequence[str] = (),
+                    min_cols: Sequence[str] = (),
                     first_cols: Sequence[str] = (),
                     min_count: int | None = None,
                     cnt_col: str | None = None,
                     finish: Callable[[pa.Table], pa.Table] | None = None,
                     num_ranges: int | None = None):
     """Group a MATERIALIZED Dataset of partial blocks by ``key_col``
-    (int64, sorted + unique within each block): sum ``sum_cols``, carry
-    the first-seen value of each ``first_cols``, optionally keep only
+    (int64, sorted within each block): sum ``sum_cols``, take the
+    minimum of ``min_cols``, carry the value of each ``first_cols`` from
+    the group's first row in block-arrival order, optionally keep only
     groups whose ``cnt_col`` total reaches ``min_count``, then apply
     ``finish`` per range (e.g. a per-range top-k — ranges partition the
     key space, so any global top-k is a merge of per-range top-ks).
@@ -63,7 +65,7 @@ def exchange_reduce(part, key_col: str,
               for bundle in part.iter_internal_ref_bundles()
               for block_ref, meta in bundle.blocks
               if (meta.num_rows or 0) > 0]
-    cols = [key_col, *sum_cols, *first_cols]
+    cols = [key_col, *sum_cols, *min_cols, *first_cols]
 
     def _reduce_table(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -78,6 +80,10 @@ def exchange_reduce(part, key_col: str,
             for c in sum_cols:
                 v = t[c].to_numpy()[order]
                 data[c] = pa.array(np.add.reduceat(v, starts), pa.int64())
+            for c in min_cols:
+                v = t[c].to_numpy()[order]
+                data[c] = pa.array(np.minimum.reduceat(v, starts),
+                                   pa.int64())
             take_idx = pa.array(order[starts])
             for c in first_cols:
                 data[c] = t[c].combine_chunks().take(take_idx)
@@ -92,7 +98,8 @@ def exchange_reduce(part, key_col: str,
     if not blocks:
         empty = _reduce_table(
             pa.table({key_col: pa.array([], pa.int64()),
-                      **{c: pa.array([], pa.int64()) for c in sum_cols},
+                      **{c: pa.array([], pa.int64())
+                         for c in (*sum_cols, *min_cols)},
                       **{c: pa.array([], pa.string())
                          for c in first_cols}}))
         return 0, [ray.put(empty)]

@@ -258,9 +258,9 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
 
     import pyarrow.dataset as pads
     import ray
-    from ray.data.aggregate import Min
 
-    from crawler_ray.ops.dedup import _join_partitions, _join_ready
+    from crawler_ray.ops.dedup import _join_partitions
+    from crawler_ray.ops.exchange import exchange_reduce
 
     path = f"{sf_dir}/documents.parquet"
     n_docs = pads.dataset(path, format="parquet").count_rows()
@@ -269,21 +269,39 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
     def hash_and_count(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         texts = t["text"].to_pylist()
-        hashes = [hashlib.md5(s.encode("utf-8")).hexdigest()
-                  for s in texts]
+        # md5-low64 bit-cast group key (the exchange/join key; the
+        # module's documented ~2^-64 collision approximation)
+        h64 = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+             for s in texts),
+            dtype=np.uint64, count=len(texts)).view(np.int64)
         # same RE2 \S+ kernel as token_counts / text_quality and the
         # DuckDB twin — ONE token definition across the whole suite
         # (Python re's \S treats Unicode spaces like NBSP differently)
         words = pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
                         pa.int64())
         return pa.table({"doc_id": t["doc_id"],
-                         "text_hash": pa.array(hashes, pa.string()),
+                         "h64": pa.array(h64, pa.int64()),
                          "n_words": words})
 
     hashed = ds.map_batches(hash_and_count,
                             batch_format="pyarrow").materialize()
-    winners_agg = (hashed.groupby("text_hash")
-                   .aggregate(Min("doc_id", alias_name="keep_id")))
+
+    # winner per hash via the hash-range exchange (a sort groupby over
+    # 1M unique hash keys measured ~40 s of curate_corpus's 45 s at 1M
+    # docs; see ops/exchange.py) — partials pre-reduce per batch
+    def win_partial(t: pa.Table) -> pa.Table:
+        h = t["h64"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        return pa.table({"h64": pa.array(h[order], pa.int64()),
+                         "keep_id": pa.array(ids[order], pa.int64())})
+
+    win_part = hashed.map_batches(win_partial,
+                                  batch_format="pyarrow").materialize()
+    _, win_refs = exchange_reduce(win_part, "h64",
+                                  min_cols=("keep_id",))
 
     def finish(t: pa.Table, keep_ids: np.ndarray) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -294,48 +312,39 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
                          "verdict": pa.array(out.tolist(), pa.string())})
 
     if n_docs <= broadcast_threshold:
-        # ship the winner table as ONE arrow table (zero-copy from the
-        # object store — a dict would re-unpickle per verdict task) and
-        # resolve each batch with a vectorized index_in/take
-        blocks = [b.select(["text_hash", "keep_id"])
-                  for b in ray.get(winners_agg.to_arrow_refs())
-                  if b.num_rows]
-        win_ref = ray.put(
-            (pa.concat_tables(blocks) if blocks else pa.table(
-                {"text_hash": pa.array([], pa.string()),
-                 "keep_id": pa.array([], pa.int64())})).combine_chunks())
+        # ship the winner map as TWO parallel sorted numpy arrays
+        # (zero-copy from the object store; range order == global
+        # order) and resolve each batch with one searchsorted
+        tables = ray.get(win_refs)
+        win_ref = ray.put((
+            np.concatenate([t["h64"].to_numpy() for t in tables]),
+            np.concatenate([t["keep_id"].to_numpy() for t in tables])))
 
         def verdict_broadcast(t: pa.Table) -> pa.Table:
-            w = ray.get(win_ref)
-            # pc.index_in rebuilds its hash set from the full value_set
-            # per call; build the hash->keep_id index once per worker
-            # process instead (same pattern as the finalize build)
-            key_idx = _VERDICT_IDX_CACHE.get(win_ref.hex())
-            if key_idx is None:
+            pair = _VERDICT_IDX_CACHE.get(win_ref.hex())
+            if pair is None:
                 _VERDICT_IDX_CACHE.clear()
-                key_idx = dict(zip(
-                    w["text_hash"].to_pylist(),
-                    w["keep_id"].to_numpy(zero_copy_only=False)))
                 # hex key: a held ObjectRef would pin the broadcast
-                # table in the object store after the job ends
-                _VERDICT_IDX_CACHE[win_ref.hex()] = key_idx
-            keep_ids = np.fromiter(
-                (key_idx[h] for h in t["text_hash"].to_pylist()),
-                dtype=np.int64, count=t.num_rows)
+                # arrays in the object store after the job ends
+                pair = ray.get(win_ref)
+                _VERDICT_IDX_CACHE[win_ref.hex()] = pair
+            keys, keep = pair
+            h = t["h64"].to_numpy()
+            # every batch hash is present by construction (the winner
+            # map covers all hashes), so searchsorted is a total lookup
+            keep_ids = keep[np.searchsorted(keys, h)]
             return finish(t, keep_ids)
 
         return hashed.map_batches(verdict_broadcast,
                                   batch_format="pyarrow")
 
     # at-scale path: hash-keyed winner join — the winner table never
-    # lands on the driver
-    winners_r = _join_ready(
-        winners_agg, pa.schema([("text_hash", pa.string()),
-                                ("keep_id", pa.int64())]))
+    # lands on the driver (the exchange's per-range refs ARE the side)
+    winners_r = _rd().from_arrow_refs(win_refs)
     joined = hashed.join(winners_r, "inner",
                          num_partitions=_join_partitions(join_partitions,
                                                          approx_rows=n_docs),
-                         on=("text_hash",))
+                         on=("h64",))
 
     def verdict_joined(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
