@@ -8,10 +8,11 @@ Scale shapes:
   then a hash-keyed ``groupby`` where each group keeps the first-wins row
   — the only shuffle is on the 16-byte hash key.
 - MinHash+LSH: shingle -> 128-perm signature per batch (numpy universal
-  hashing, no Python per-shingle loop), explode to (band, band_hash)
-  rows, groupby on the band key, per-bucket candidate pairs verified by
-  signature agreement — classic SRCH04 LSH; only signatures shuffle,
-  never documents.
+  hashing, no Python per-shingle loop), explode to (shard, band_hash)
+  rows — shard = (band, band_hash prefix) so banding groups stay
+  bounded at any corpus size — groupby on the shard key, per-bucket
+  candidate pairs verified by signature agreement — classic SRCH04
+  LSH; only signatures shuffle, never documents.
 - SimHash: 64-bit signatures; candidates blocked on 4x16-bit sub-bands
   (any pair with Hamming distance <= 3 shares at least one exact sub-band
   by pigeonhole), verified by popcount.
@@ -386,7 +387,8 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
                       shingle_k: int = 5, threshold: float = 0.5,
                       table: str = "documents",
                       join_partitions: int | None = None,
-                      broadcast_threshold: int = 50_000):
+                      broadcast_threshold: int = 50_000,
+                      shard_bits: int | None = None):
     """Near-dup candidate pairs via LSH banding, verified by signature
     agreement (estimated Jaccard).  Returns (doc_a, doc_b,
     est_jaccard_milli) for pairs >= threshold.
@@ -401,19 +403,35 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
     never land on the driver and never fan out whole.  Both paths
     compare the per-pair signatures as ONE (n_pairs, num_perm) numpy
     equality per batch; set ``broadcast_threshold=0`` to force the join
-    path (the chain-component test does)."""
+    path (the chain-component test does).
+
+    The banding groupby keys on ``shard`` = (band, top ``shard_bits``
+    of band_hash), not on the band alone: a bare per-band group holds
+    the WHOLE corpus (one map_groups task per band would OOM a worker
+    at 10^9+ docs), while the band_hash prefix splits each band into
+    uniform-random sub-groups of ~2M rows without ever separating rows
+    that share a band_hash (equal hash => equal prefix), so the pair
+    set is invariant under sharding (pytest-pinned).  ``shard_bits``
+    defaults from the signature count; pass it to force a value."""
+    import math
+
     join_partitions = _join_partitions(join_partitions)
     rows = num_perm // bands
     # signatures feed both the banding pass and the verify joins —
     # materialize once (small: num_perm*8 B per doc)
     sig_ds = minhash_signatures(sf_dir, num_perm, shingle_k,
                                 table).materialize()
+    if shard_bits is None:
+        target = 2_000_000  # rows per banding group
+        shard_bits = min(24, max(0, math.ceil(math.log2(max(
+            1.0, sig_ds.count() * bands / target)))))
+    sb = np.uint64(shard_bits)
 
     def band_explode(t: pa.Table) -> pa.Table:
         """(doc, band) bucket keys in one vectorized pass: polynomial of
         each band's signature rows diffused by splitmix64."""
         if t.num_rows == 0:
-            return pa.table({"band": pa.array([], pa.int32()),
+            return pa.table({"shard": pa.array([], pa.int64()),
                              "band_hash": pa.array([], pa.uint64()),
                              "doc_id": pa.array([], pa.int64())})
         # one frombuffer over the joined fixed-width payloads (the
@@ -429,18 +447,22 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
             keys = _splitmix64(
                 (mat * pows).sum(axis=2, dtype=np.uint64))  # (docs, bands)
         ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        flat = keys.ravel()
+        band_idx = np.tile(np.arange(bands, dtype=np.uint64), len(ids))
+        shard = (band_idx << sb) | (
+            (flat >> (np.uint64(64) - sb)) if shard_bits
+            else np.uint64(0))
         return pa.table({
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32),
-                                     len(ids)), pa.int32()),
-            "band_hash": pa.array(keys.ravel(), pa.uint64()),
+            "shard": pa.array(shard.astype(np.int64), pa.int64()),
+            "band_hash": pa.array(flat, pa.uint64()),
             "doc_id": pa.array(np.repeat(ids, bands), pa.int64())})
 
     banded = sig_ds.map_batches(band_explode, batch_format="pyarrow")
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # one Ray group per *band* (coarse); the fine band_hash buckets
-        # pair up in one vectorized ragged-triu pass — no Python loop
-        # over buckets or pairs
+        # one Ray group per shard (bounded rows); the fine band_hash
+        # buckets pair up in one vectorized ragged-triu pass — no
+        # Python loop over buckets or pairs
         bh = g["band_hash"].to_numpy(dtype=np.uint64)
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         order = np.lexsort((ids, bh))
@@ -448,8 +470,8 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32,
         left, right = _ragged_pairs(bh)
         return pd.DataFrame({"doc_a": ids[left], "doc_b": ids[right]})
 
-    pairs = banded.groupby("band").map_groups(band_pairs,
-                                              batch_format="pandas")
+    pairs = banded.groupby("shard").map_groups(band_pairs,
+                                               batch_format="pandas")
 
     def score_pairs(t: pa.Table, sa: np.ndarray,
                     sb: np.ndarray) -> pa.Table:
@@ -747,12 +769,16 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
         sims = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
         shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
         keys = ((sims[:, None] >> shifts[None, :])
-                & np.uint64(0xFFFF)).astype(np.int32)  # (docs, 4)
+                & np.uint64(0xFFFF)).astype(np.int64)  # (docs, 4)
+        # group on the composite (band, 16-bit key): 4*65536 bounded
+        # buckets instead of 4 corpus-sized band groups (a bare
+        # per-band map_groups task would hold the whole corpus)
+        band = np.tile(np.arange(4, dtype=np.int64), len(ids))
+        shard = band * 65536 + keys.ravel()
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
-            "band": pa.array(np.tile(np.arange(4, dtype=np.int32),
-                                     len(ids)), pa.int32()),
-            "key": pa.array(keys.ravel(), pa.int32()),
+            "shard": pa.array(shard, pa.int64()),
+            "key": pa.array(keys.ravel().astype(np.int32), pa.int32()),
             "simhash": pa.array(np.repeat(sims, 4), pa.uint64())})
 
     banded = sig.map_batches(band_explode, batch_format="pyarrow")
@@ -777,8 +803,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
                              "doc_b": ids[right][keep],
                              "hamming": ham[keep]})
 
-    pairs = banded.groupby("band").map_groups(band_pairs,
-                                              batch_format="pandas")
+    pairs = banded.groupby("shard").map_groups(band_pairs,
+                                               batch_format="pandas")
     from ray.data.aggregate import Min
     return (pairs.groupby(["doc_a", "doc_b"])
             .aggregate(Min("hamming", alias_name="hamming")))

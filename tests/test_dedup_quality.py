@@ -112,6 +112,23 @@ def test_minhash_finds_planted_near_dups(planted_corpus):
         assert b in planted_ids or a in planted_ids, (a, b)
 
 
+def test_minhash_pairs_shard_invariant(planted_corpus):
+    """The banding group key shards by band_hash prefix so group sizes
+    stay bounded at corpus scale; the pair set must be invariant under
+    any shard_bits (equal band_hash => equal shard by construction)."""
+    sf_dir, near, exact = planted_corpus
+
+    def pairset(**kw):
+        df = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5,
+                                     **kw).to_pandas()
+        return set(zip(df["doc_a"].astype(int), df["doc_b"].astype(int),
+                       df["est_jaccard_milli"].astype(int)))
+
+    base = pairset(shard_bits=0)
+    assert pairset(shard_bits=6) == base
+    assert pairset(shard_bits=24) == base
+
+
 def test_simhash_finds_exact_and_near(planted_corpus):
     sf_dir, near, exact = planted_corpus
     pairs = dedup.simhash_pairs(sf_dir, max_hamming=6).to_pandas()
