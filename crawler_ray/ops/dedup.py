@@ -755,12 +755,33 @@ class _SimHasher:
 
 @_pairs_memo(src="table")
 def simhash_pairs(sf_dir: str, max_hamming: int = 3,
-                  table: str = "documents"):
+                  table: str = "documents",
+                  shard_bits: int | None = None):
     """Near-dup pairs by SimHash: block on 4x16-bit sub-bands (pigeonhole
     guarantees any pair at Hamming <= 3 collides in >= 1 band), verify by
-    popcount.  Returns (doc_a, doc_b, hamming)."""
-    ds = _rd().read_parquet(f"{sf_dir}/{table}.parquet",
-                            columns=["doc_id", "text"])
+    popcount.  Returns (doc_a, doc_b, hamming).
+
+    The banding groupby keys on ``shard`` = (band, top ``shard_bits``
+    of the 16-bit sub-band key): a bare per-band group holds the whole
+    corpus (4 corpus-sized map_groups tasks — a worker OOM at 10^9+
+    docs), while the key prefix splits each band into bounded groups
+    without separating rows that share a key (equal key => equal
+    prefix), so the pair set is invariant (pytest-pinned).  The width
+    defaults from the table's parquet row count — 0 for small corpora,
+    where thousands of tiny groups would only add shuffle overhead."""
+    import math
+
+    import pyarrow.dataset as pads
+
+    path = f"{sf_dir}/{table}.parquet"
+    if shard_bits is None:
+        target = 2_000_000  # rows per banding group
+        n_docs = pads.dataset(path, format="parquet").count_rows()
+        shard_bits = min(16, max(0, math.ceil(math.log2(max(
+            1.0, n_docs * 4 / target)))))
+    sb = np.int64(shard_bits)
+
+    ds = _rd().read_parquet(path, columns=["doc_id", "text"])
     sig = ds.map_batches(_SimHasher, batch_format="pyarrow",
                          batch_size=512, concurrency=(2, 12))
 
@@ -770,11 +791,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
         shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
         keys = ((sims[:, None] >> shifts[None, :])
                 & np.uint64(0xFFFF)).astype(np.int64)  # (docs, 4)
-        # group on the composite (band, 16-bit key): 4*65536 bounded
-        # buckets instead of 4 corpus-sized band groups (a bare
-        # per-band map_groups task would hold the whole corpus)
         band = np.tile(np.arange(4, dtype=np.int64), len(ids))
-        shard = band * 65536 + keys.ravel()
+        shard = (band << sb) | (keys.ravel() >> np.int64(16 - sb)
+                                if shard_bits else np.int64(0))
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
             "shard": pa.array(shard, pa.int64()),

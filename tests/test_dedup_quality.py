@@ -128,6 +128,16 @@ def test_minhash_pairs_shard_invariant(planted_corpus):
     assert pairset(shard_bits=6) == base
     assert pairset(shard_bits=24) == base
 
+    def sim_pairset(**kw):
+        df = dedup.simhash_pairs(sf_dir, max_hamming=6,
+                                 **kw).to_pandas()
+        return set(zip(df["doc_a"].astype(int), df["doc_b"].astype(int),
+                       df["hamming"].astype(int)))
+
+    sim_base = sim_pairset(shard_bits=0)
+    assert sim_pairset(shard_bits=5) == sim_base
+    assert sim_pairset(shard_bits=16) == sim_base
+
 
 def test_simhash_finds_exact_and_near(planted_corpus):
     sf_dir, near, exact = planted_corpus
