@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": filtering.stratified_sample,
         "incremental_dedup": filtering.incremental_dedup,
         "normalize_text": filtering.normalize_text,
+        "shuffle_corpus": filtering.shuffle_corpus,
         "length_percentiles": filtering.length_percentiles,
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
@@ -990,6 +991,18 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             WHERE bucket < 200
               AND md5(text) NOT IN (SELECT h FROM ex)
+        """,
+        # literal replay of ops/filtering.py:shuffle_corpus (seed=0):
+        # the engine sorts on sign-flipped md5-low64 whose int64 order
+        # equals the hex-prefix string order, so ROW_NUMBER over the
+        # hex prefix replays the exact global rank (ties by doc_id)
+        "shuffle_corpus": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY substr(md5('0:' ||
+                                         CAST(doc_id AS VARCHAR)), 1, 16),
+                                 doc_id) - 1 AS BIGINT) AS shuffle_rank
+            FROM documents
         """,
         # literal replay of ops/filtering.py:normalize_text — NFC, then
         # RE2 \s+ collapse, then edge-space strip, on both engines

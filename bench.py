@@ -138,6 +138,7 @@ def run_bench() -> dict:
         "quality_filter": lambda: filtering.quality_filter(sf_dir),
         "incremental_dedup":
             lambda: filtering.incremental_dedup(sf_dir),
+        "shuffle_corpus": lambda: filtering.shuffle_corpus(sf_dir),
         "length_percentiles":
             lambda: filtering.length_percentiles(sf_dir),
     }

@@ -24,7 +24,7 @@ import pyarrow as pa
 
 __all__ = ["line_dedup", "quality_filter", "source_quota",
            "stratified_sample", "incremental_dedup", "normalize_text",
-           "length_percentiles"]
+           "shuffle_corpus", "length_percentiles"]
 
 
 def _rd():
@@ -551,6 +551,73 @@ def incremental_dedup(sf_dir: str, existing_min_bucket: int = 200,
                          num_partitions=_join_partitions(join_partitions),
                          on=("h64",))
     return kept.select_columns(["doc_id", "text_hash"])
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle
+# ---------------------------------------------------------------------------
+
+def shuffle_corpus(sf_dir: str, seed: int = 0):
+    """Reproducible global shuffle — the training-order pass: every
+    document gets an exact global rank in the order of
+    md5(f"{seed}:{doc_id}") (ties — full-digest collisions — break by
+    doc_id), so the same seed always yields the same order on any
+    cluster, any partitioning, any rerun.  Output (doc_id, rank),
+    rank 0-based.
+
+    Plan: one hashing scan, a distributed ``Dataset.sort`` on the hash
+    key, then exact ordinals WITHOUT moving data again — block row
+    counts are metadata, so the driver computes per-block offsets from
+    counts alone and raw per-block tasks stamp ``offset + arange``.
+    The sort key is the sign-flipped md5-low64 (int64 order then equals
+    unsigned order equals hex-string order), which is what lets the
+    DuckDB twin replay the exact rank with a ROW_NUMBER over the hex
+    prefix.  Output column is named ``shuffle_rank`` (``rank`` collides
+    with the SQL window keyword)."""
+    import hashlib
+
+    import ray
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def key_of(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        k = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big")
+             for i in ids), dtype=np.uint64, count=len(ids))
+        # sign-flip: signed int64 order == unsigned order
+        k = (k ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "key": pa.array(k, pa.int64())})
+
+    ranked = (ds.map_batches(key_of, batch_format="pyarrow")
+              .sort(["key", "doc_id"]).materialize())
+
+    blocks = [(block_ref, meta.num_rows or 0)
+              for bundle in ranked.iter_internal_ref_bundles()
+              for block_ref, meta in bundle.blocks]
+
+    @ray.remote
+    def stamp(t: pa.Table, offset: int) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shuffle_rank": pa.array(
+                offset + np.arange(t.num_rows, dtype=np.int64),
+                pa.int64()),
+        })
+
+    refs, offset = [], 0
+    for block_ref, n in blocks:
+        if n:
+            refs.append(stamp.remote(block_ref, offset))
+            offset += n
+    if not refs:
+        return _rd().from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "shuffle_rank": pa.array([], pa.int64())}))
+    return _rd().from_arrow_refs(refs)
 
 
 # ---------------------------------------------------------------------------

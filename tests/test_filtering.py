@@ -241,6 +241,31 @@ def test_incremental_dedup_planted(ray_session, tmp_path):
     assert jn == out
 
 
+# -- shuffle_corpus ----------------------------------------------------------
+
+def test_shuffle_corpus_deterministic(ray_session, tmp_path):
+    """Exact 0..n-1 ranks; same seed -> same order on rerun; different
+    seed -> different order; matches a local md5-order replay."""
+    import hashlib
+
+    sf = _write_docs(tmp_path, ["x"] * 97)
+    out = {r["doc_id"]: r["shuffle_rank"]
+           for r in filtering.shuffle_corpus(sf, seed=0).take_all()}
+    assert sorted(out.values()) == list(range(97))
+    want = {i: r for r, i in enumerate(sorted(
+        range(97),
+        key=lambda i: (hashlib.md5(f"0:{i}".encode()).hexdigest()[:16],
+                       i)))}
+    assert out == want
+    again = {r["doc_id"]: r["shuffle_rank"]
+             for r in filtering.shuffle_corpus(sf, seed=0).take_all()}
+    assert again == out
+    other = {r["doc_id"]: r["shuffle_rank"]
+             for r in filtering.shuffle_corpus(sf, seed=1).take_all()}
+    assert other != out
+    assert sorted(other.values()) == list(range(97))
+
+
 # -- normalize_text ----------------------------------------------------------
 
 def test_normalize_text_planted(ray_session, tmp_path):
