@@ -114,7 +114,8 @@ _CURATE_PASSES = ("pii_scrub", "repetition_stats", "dataset_split",
                   "contamination_check",
                   # selection layer (ops/filtering.py)
                   "line_dedup", "quality_filter", "source_quota",
-                  "stratified_sample", "incremental_dedup")
+                  "stratified_sample", "incremental_dedup",
+                  "normalize_text", "shuffle_corpus")
 
 
 def cmd_curate(args) -> int:

@@ -124,7 +124,8 @@ def main() -> None:
                  "chunk_documents", "pack_manifest", "top_bigrams",
                  "contamination_check", "line_dedup", "quality_filter",
                  "source_quota", "stratified_sample",
-                 "incremental_dedup"):
+                 "incremental_dedup", "normalize_text",
+                 "shuffle_corpus"):
         sink = os.path.join(WORK, "out", name)
         shutil.rmtree(sink, ignore_errors=True)
         t0 = time.time()
@@ -207,6 +208,18 @@ def main() -> None:
         f"  (SELECT doc_id, text_hash FROM"
         f"     read_parquet('{sums['incremental_dedup']}/*.parquet')))"
         ).fetchone()
+    # shuffle_corpus: an exact permutation of 0..N-1
+    shuf = q(f"SELECT count(*), count(DISTINCT shuffle_rank),"
+             f" min(shuffle_rank), max(shuffle_rank) FROM "
+             f"read_parquet('{sums['shuffle_corpus']}/*.parquet')"
+             ).fetchone()
+    # normalize_text: row-conserving; no double spaces or edge spaces
+    # survive in changed rows
+    norm = q(f"SELECT count(*),"
+             f" sum((text_norm LIKE '%  %' OR text_norm LIKE ' %'"
+             f"      OR text_norm LIKE '% ')::BIGINT) FROM "
+             f"read_parquet('{sums['normalize_text']}/*.parquet')"
+             ).fetchone()
     # stratified_sample: bit-equal to the md5-bucket replay
     strat_diff = q(
         f"SELECT count(*) FROM ("
@@ -228,6 +241,11 @@ def main() -> None:
         "quality_floor_exact": int(qf[1]) == int(qf[2]),
         "source_quota_replay_diff": int(quota_diff[0]),
         "incremental_replay_diff": int(incr_diff[0]),
+        "shuffle_exact_permutation": (
+            int(shuf[0]) == N_DOCS and int(shuf[1]) == N_DOCS
+            and int(shuf[2]) == 0 and int(shuf[3]) == N_DOCS - 1),
+        "normalize_rows": int(norm[0]),
+        "normalize_residual_ws": int(norm[1]),
         "stratified_replay_diff": int(strat_diff[0]),
         "length_percentiles": dict(zip(pctl["pct"].to_pylist(),
                                        pctl["n_tokens"].to_pylist())),
@@ -244,6 +262,9 @@ def main() -> None:
           and out["invariants"]["quality_floor_exact"]
           and out["invariants"]["source_quota_replay_diff"] == 0
           and out["invariants"]["incremental_replay_diff"] == 0
+          and out["invariants"]["shuffle_exact_permutation"]
+          and out["invariants"]["normalize_rows"] == N_DOCS
+          and out["invariants"]["normalize_residual_ws"] == 0
           and out["invariants"]["stratified_replay_diff"] == 0)
     out["invariants_ok"] = bool(ok)
     print(json.dumps(out))
