@@ -6,6 +6,9 @@ and the pair-building dedup family (``dedup``):
 - ``quality_filter``    — Gopher-style composite quality gate
 - ``source_quota``      — per-source document cap (first-K by doc_id)
 - ``stratified_sample`` — deterministic per-language hash sampling
+- ``incremental_dedup`` — delta dedup of an incoming shard vs the corpus
+- ``normalize_text``    — NFC + whitespace canonicalization
+- ``shuffle_corpus``    — deterministic global shuffle with exact ranks
 - ``length_percentiles``— exact corpus length percentiles via histogram
 
 Every operator is a streaming Ray Data plan over the documents table and
@@ -69,8 +72,9 @@ def line_dedup(sf_dir: str, min_count: int = 2,
        exchange (``_exchange_common_keys`` — measured 14x faster than a
        sort-based groupby on this mostly-unique-keys shape);
     2. common hashes (count >= min_count) come back as ONE sorted int64
-       array (md5-low64 bit-cast, the gram-hash convention) broadcast via ``ray.put`` when they fit under
-       ``broadcast_threshold``, and the rebuild scan drops lines by a
+       array (md5-low64 bit-cast, the gram-hash convention), broadcast
+       via ``ray.put`` when they fit under ``broadcast_threshold``,
+       and the rebuild scan drops lines by a
        vectorized ``searchsorted`` membership test — text never leaves
        its input block;
     3. above the threshold (web scale: boilerplate is a large set) the
