@@ -112,6 +112,12 @@ def exchange_reduce(part, key_col: str,
     def split(t: pa.Table):
         t = t.select(cols)
         keys = t[key_col].to_numpy()
+        # fail LOUD on a contract violation: an unsorted partial block
+        # would silently mis-partition (searchsorted assumes order)
+        if len(keys) > 1 and not (keys[1:] >= keys[:-1]).all():
+            raise ValueError(
+                f"exchange partial block not sorted by '{key_col}' "
+                "(the np.unique/argsort partial contract)")
         idx = np.searchsorted(keys, cuts)
         bounds = np.concatenate([[0], idx, [len(keys)]])
         return tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i])
