@@ -974,11 +974,21 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
 
         exploded = exploded.map_batches(drop_hot, batch_format="pyarrow")
 
+    # adaptive bucket width: any refinement of the gram partition keeps
+    # pair semantics (pairs only form within equal grams, and equal
+    # grams share every low bit), so widen the mask with the corpus to
+    # hold ~2M gram rows per map_groups task instead of letting the
+    # fixed-64-bucket groups grow with the corpus.  Low bits are
+    # sign-view-agnostic.  (This op stays the documented exact /
+    # quadratic path; MinHash is the scale path.)
+    import math
+    bucket_bits = max(6, min(24, math.ceil(math.log2(max(
+        1.0, n_docs * 128 / 2_000_000)))))
+    bucket_mask = np.int64((1 << bucket_bits) - 1)
+
     def add_bucket(t: pa.Table) -> pa.Table:
-        # low 6 bits are endianness-of-sign-agnostic: identical for the
-        # signed view
         bucket = pa.compute.cast(
-            pa.compute.bit_wise_and(t["gram"], np.int64(63)), pa.int32())
+            pa.compute.bit_wise_and(t["gram"], bucket_mask), pa.int32())
         return t.append_column("bucket", bucket)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
