@@ -756,7 +756,8 @@ class _SimHasher:
 @_pairs_memo(src="table")
 def simhash_pairs(sf_dir: str, max_hamming: int = 3,
                   table: str = "documents",
-                  shard_bits: int | None = None):
+                  shard_bits: int | None = None,
+                  max_candidate_pairs: int | None = None):
     """Near-dup pairs by SimHash: block on 4x16-bit sub-bands (pigeonhole
     guarantees any pair at Hamming <= 3 collides in >= 1 band), verify by
     popcount.  Returns (doc_a, doc_b, hamming).
@@ -768,22 +769,68 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
     without separating rows that share a key (equal key => equal
     prefix), so the pair set is invariant (pytest-pinned).  The width
     defaults from the table's parquet row count — 0 for small corpora,
-    where thousands of tiny groups would only add shuffle overhead."""
+    where thousands of tiny groups would only add shuffle overhead.
+
+    Candidate-blowup guard: on a low-entropy corpus (many equal
+    sub-band keys) the TRUE Hamming<=``max_hamming`` pair set is
+    quadratic and the job cannot terminate usefully.  Before emitting
+    any pair, the exact per-(band, key) bucket histogram — at most
+    4 * 2^16 rows regardless of corpus size — prices the candidate set
+    as sum(c*(c-1)/2); if it exceeds ``max_candidate_pairs`` (default
+    max(10M, 50 per doc)) the op raises in seconds with the estimate
+    and remediation pointers instead of hanging for days."""
     import math
 
     import pyarrow.dataset as pads
 
     path = f"{sf_dir}/{table}.parquet"
+    target = 2_000_000  # rows per banding group
+    n_docs = pads.dataset(path, format="parquet").count_rows()
     if shard_bits is None:
-        target = 2_000_000  # rows per banding group
-        n_docs = pads.dataset(path, format="parquet").count_rows()
         shard_bits = min(16, max(0, math.ceil(math.log2(max(
             1.0, n_docs * 4 / target)))))
     sb = np.int64(shard_bits)
+    if max_candidate_pairs is None:
+        max_candidate_pairs = max(10_000_000, 50 * n_docs)
 
     ds = _rd().read_parquet(path, columns=["doc_id", "text"])
     sig = ds.map_batches(_SimHasher, batch_format="pyarrow",
-                         batch_size=512, concurrency=(2, 12))
+                         batch_size=512,
+                         concurrency=(2, 12)).materialize()
+
+    # -- guard pass: exact candidate count from the (band, key) histogram
+    from crawler_ray.ops.exchange import exchange_reduce
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        sims = np.asarray(t["simhash"].to_pylist(), dtype=np.uint64)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = ((sims[:, None] >> shifts[None, :])
+                & np.uint64(0xFFFF)).astype(np.int64)
+        band = np.tile(np.arange(4, dtype=np.int64), len(sims))
+        bk = (band << np.int64(16)) | keys.ravel()
+        uniq, counts = np.unique(bk, return_counts=True)
+        return pa.table({"bk": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    hist = sig.map_batches(hist_partial,
+                           batch_format="pyarrow").materialize()
+    _, hist_refs = exchange_reduce(hist, "bk", sum_cols=("n",))
+    import ray as _ray
+    est_pairs = 0
+    for ht in _ray.get(list(hist_refs)):
+        c = ht["n"].to_numpy()
+        est_pairs += int((c * (c - 1) // 2).sum())
+    if est_pairs > max_candidate_pairs:
+        raise ValueError(
+            f"simhash_pairs: the banding histogram prices "
+            f"{est_pairs:,} candidate pairs for {n_docs:,} docs — over "
+            f"the {max_candidate_pairs:,} ceiling; the corpus is too "
+            f"low-entropy for 4x16-bit SimHash banding (the true "
+            f"Hamming<={max_hamming} pair set is likely quadratic and "
+            f"the job would not terminate).  Lower max_hamming, dedup "
+            f"exact duplicates first (exact_dedup), use minhash_pairs "
+            f"(bounded banding groups by construction), or raise "
+            f"max_candidate_pairs explicitly if the blowup is intended.")
 
     def band_explode(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)

@@ -105,7 +105,10 @@ def exchange_reduce(part, key_col: str,
         return 0, [ray.put(empty)]
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    k = num_ranges or max(2, min(64, cpus, len(blocks)))
+    # clamp to >= 2: with num_returns=1 Ray hands back ONE ref holding
+    # the whole tuple, so per-range indexing below would mis-fan-out
+    k = max(2, num_ranges) if num_ranges else max(
+        2, min(64, cpus, len(blocks)))
     cuts = np.linspace(-2.0**63, 2.0**63, k + 1)[1:-1].astype(np.int64)
 
     @ray.remote

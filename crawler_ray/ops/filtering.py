@@ -226,20 +226,93 @@ def line_dedup(sf_dir: str, min_count: int = 2,
     kept = exploded.join(common_r, "left_anti", num_partitions=n_parts,
                          on=("line_hash",))
 
-    def reassemble(df):
-        import pandas as pd
-        df = df.sort_values("li")
-        real = df[df["li"] >= 0]
-        return pd.DataFrame({
-            "doc_id": [int(df["doc_id"].iloc[0])],
-            "n_lines": [int(df["n_lines"].iloc[0])],
-            "n_dropped": [int(df["n_lines"].iloc[0]) - len(real)],
-            "text_clean": ["\n".join(real["line"].tolist())],
-        })
+    # Reassembly: co-locate each document's surviving rows with a raw
+    # hash exchange on doc_id (the join partitioned by line_hash, so
+    # docs are scattered), then rebuild MANY docs per combiner with the
+    # same bounded pandas C-loop groupby the broadcast path uses — never
+    # one Python call per document.  Ray Data's keyed repartition needs
+    # the global HASH_SHUFFLE strategy (measured pathological here, see
+    # ops/exchange.py); the same split/combine raw-task shape does the
+    # single all-to-all the problem requires and nothing more.
+    import ray as _ray
 
-    return (kept.groupby("doc_id").map_groups(reassemble)
-            .map_batches(lambda t: t.cast(out_schema),
-                         batch_format="pyarrow"))
+    co = kept.materialize()
+    blocks = [block_ref
+              for bundle in co.iter_internal_ref_bundles()
+              for block_ref, meta in bundle.blocks
+              if (meta.num_rows or 0) > 0]
+    if not blocks:
+        return _rd().from_arrow(out_schema.empty_table())
+    k = max(2, min(n_parts, len(blocks) * 4))
+
+    @_ray.remote
+    def split_docs(t: pa.Table):
+        t = t.select(["doc_id", "li", "line", "n_lines"])
+        d = t["doc_id"].to_numpy().astype(np.uint64)
+        # multiply-mix then take high bits: sequential doc_ids spread
+        # uniformly, so shard skew is impossible by construction
+        shard = (((d * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32))
+                 % np.uint64(k)).astype(np.int64)
+        order = np.argsort(shard, kind="stable")
+        t2 = t.take(pa.array(order))
+        ss = shard[order]
+        bounds = np.searchsorted(ss, np.arange(k + 1))
+        # combine_chunks per slice: ship only each shard's bytes, not
+        # K views of the parent block (see tests/test_exchange.py
+        # byte-accounting pin)
+        return tuple(
+            t2.slice(bounds[i], bounds[i + 1] - bounds[i])
+            .combine_chunks() for i in range(k))
+
+    @_ray.remote
+    def rebuild(*shards) -> pa.Table:
+        return _reassemble_rows(pa.concat_tables(shards), out_schema)
+
+    split_refs = [split_docs.options(num_returns=k).remote(b)
+                  for b in blocks]
+    per_shard = [[sr[s] for sr in split_refs] for s in range(k)]
+    refs = [rebuild.remote(*per_shard[s]) for s in range(k)]
+    return _rd().from_arrow_refs(refs)
+
+
+def _reassemble_rows(t: pa.Table, out_schema: pa.Schema) -> pa.Table:
+    """Vectorized per-doc line reassembly over MANY documents at once:
+    rows (doc_id, li, line, n_lines) arrive in any order; the li = -1
+    sentinel guarantees one group per doc even when every real line
+    dropped.  One lexsort + one pandas C-loop string join per call —
+    the same kernel as the broadcast path, O(batch) Python calls total
+    instead of O(corpus documents)."""
+    import pandas as pd
+
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    d = t["doc_id"].to_numpy()
+    li = t["li"].to_numpy()
+    order = np.lexsort((li, d))
+    d, li = d[order], li[order]
+    lines = (t["line"].combine_chunks().take(pa.array(order))
+             .to_numpy(zero_copy_only=False))
+    nl = t["n_lines"].to_numpy()[order]
+    new = np.concatenate([[True], d[1:] != d[:-1]])
+    starts = np.flatnonzero(new)
+    codes = np.cumsum(new) - 1
+    ndocs = len(starts)
+    real = li >= 0
+    text = np.full(ndocs, "", dtype=object)
+    n_kept = np.zeros(ndocs, dtype=np.int64)
+    if real.any():
+        joined = pd.Series(lines[real]).groupby(codes[real]).agg(
+            "\n".join)
+        text[joined.index.to_numpy()] = joined.to_numpy()
+        n_kept = np.bincount(codes[real],
+                             minlength=ndocs).astype(np.int64)
+    nlv = nl[starts].astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(d[starts], pa.int64()),
+        "n_lines": pa.array(nlv, pa.int64()),
+        "n_dropped": pa.array(nlv - n_kept, pa.int64()),
+        "text_clean": pa.array(text.tolist(), pa.string()),
+    }).cast(out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -288,9 +361,8 @@ def quality_filter(sf_dir: str, min_words: int = 50,
             wlen = np.char.str_len(flat.astype(str))
             df = pd.DataFrame({"r": row_idx, "w": flat, "c": wlen})
             per_pair = df.groupby(["r", "w"], sort=False)["c"].agg(
-                ["size", "first"])
-            by_doc = per_pair.groupby(level=0, sort=False)
-            cnt = by_doc["size"]
+                "size")
+            cnt = per_pair.groupby(level=0, sort=False)
             idx = cnt.sum().index.to_numpy()
             total[idx] = cnt.sum().to_numpy()
             distinct[idx] = cnt.size().to_numpy()

@@ -480,8 +480,12 @@ def top_bigrams(sf_dir: str, k: int = 50):
         mask = flat != ""
         flat, doc_idx = flat[mask], doc_idx[mask]
         if len(flat) < 2:
-            return pa.table({"bigram": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
+            # full typed empty — must carry the same (h, n, bigram)
+            # schema as the non-empty branch or the materialized
+            # partials hold heterogeneous blocks
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "bigram": pa.array([], pa.string())})
         same_doc = doc_idx[:-1] == doc_idx[1:]
         # factorize words once (C hash) and tally integer bigram codes;
         # strings are built only for the batch's DISTINCT bigrams, so

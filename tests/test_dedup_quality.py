@@ -310,3 +310,36 @@ def test_broadcast_ops_handle_empty_corpus(tmp_path, ray_session):
     }), f"{sf}/documents.parquet")
     assert minhash_lsh_pairs(sf).count() == 0
     assert curate_corpus(sf).count() == 0
+
+
+def test_simhash_guard_rejects_low_entropy(tmp_path, ray_session):
+    """A degenerate corpus (every doc identical => one corpus-sized
+    band bucket per band) must fail in seconds with the exact candidate
+    estimate, not hang emitting a quadratic pair set; an explicit
+    higher ceiling re-enables the (intentionally quadratic) run."""
+    n = 120
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(["accept all cookies to continue"] * n,
+                         pa.string()),
+    }), os.path.join(sf, "documents.parquet"))
+    # candidates = 4 bands * C(120, 2) = 28,560
+    with pytest.raises(ValueError, match=r"28,560 candidate"):
+        dedup.simhash_pairs(sf, max_candidate_pairs=1_000)
+    out = dedup.simhash_pairs(sf, max_candidate_pairs=10**8).to_pandas()
+    assert len(out) == n * (n - 1) // 2  # all-pairs at hamming 0
+    assert (out["hamming"] == 0).all()
+
+
+def test_simhash_guard_noop_on_normal_corpus(planted_corpus):
+    """The default ceiling (max(10M, 50/doc)) must not fire on a
+    normal mixed corpus — the pair set is unchanged vs an explicit
+    huge ceiling."""
+    sf_dir, _, _ = planted_corpus
+    base = dedup.simhash_pairs(sf_dir, max_hamming=6).to_pandas()
+    huge = dedup.simhash_pairs(sf_dir, max_hamming=6,
+                               max_candidate_pairs=10**15).to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert (base.sort_values(key).reset_index(drop=True)
+            .equals(huge.sort_values(key).reset_index(drop=True)))
