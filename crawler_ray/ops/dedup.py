@@ -248,11 +248,9 @@ def exact_dedup(sf_dir: str, table: str = "documents",
                             columns=[id_col, text_col])
 
     def partial(t: pa.Table) -> pa.Table:
-        digests = [hashlib.md5(s.encode("utf-8")).digest()
-                   for s in t[text_col].to_pylist()]
-        h64 = np.fromiter((int.from_bytes(d[:8], "big") for d in digests),
-                          dtype=np.uint64,
-                          count=len(digests)).view(np.int64)
+        from crawler_ray.ops.hashkeys import md5_hex_and_key64
+        hexes, k64 = md5_hex_and_key64(t[text_col])
+        h64 = k64.view(np.int64)
         order = np.argsort(h64, kind="stable")
         return pa.table({
             "h64": pa.array(h64[order], pa.int64()),
@@ -260,8 +258,7 @@ def exact_dedup(sf_dir: str, table: str = "documents",
                 t[id_col].to_numpy()[order], pa.int64()),
             "n_copies": pa.array(np.ones(len(order), np.int64),
                                  pa.int64()),
-            "text_hash": pa.array([digests[i].hex() for i in order],
-                                  pa.string()),
+            "text_hash": hexes.take(pa.array(order)),
         })
 
     part = ds.map_batches(partial, batch_format="pyarrow").materialize()
@@ -288,21 +285,21 @@ def similarity_dedup(sf_dir: str):
                             columns=["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        digests = []
-        for s in t["text"].to_pylist():
-            sig = " ".join(s.split())[:1000]
-            digests.append(hashlib.md5(sig.encode("utf-8")).digest())
-        h64 = np.fromiter((int.from_bytes(d[:8], "big") for d in digests),
-                          dtype=np.uint64,
-                          count=len(digests)).view(np.int64)
+        from crawler_ray.ops.hashkeys import md5_hex_and_key64
+        # the sig rule stays a Python loop: str.split() strips Unicode
+        # whitespace classes RE2/pc kernels treat differently, and the
+        # serial-oracle pin depends on exactly this normalization
+        sigs = [" ".join(s.split())[:1000]
+                for s in t["text"].to_pylist()]
+        hexes, k64 = md5_hex_and_key64(pa.array(sigs, pa.string()))
+        h64 = k64.view(np.int64)
         order = np.argsort(h64, kind="stable")
         return pa.table({
             "h64": pa.array(h64[order], pa.int64()),
             "doc_id": pa.array(t["doc_id"].to_numpy()[order], pa.int64()),
             "n_copies": pa.array(np.ones(len(order), np.int64),
                                  pa.int64()),
-            "sim_hash": pa.array([digests[i].hex() for i in order],
-                                 pa.string()),
+            "sim_hash": hexes.take(pa.array(order)),
         })
 
     part = ds.map_batches(partial, batch_format="pyarrow").materialize()

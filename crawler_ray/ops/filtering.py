@@ -449,7 +449,7 @@ def stratified_sample(sf_dir: str, default_permille: int = 100,
     lands on the same side), and composable with ``dataset_split`` —
     both read the same bucket, so sampling never moves a document across
     train/test boundaries."""
-    import hashlib
+    from crawler_ray.ops.hashkeys import md5_bucket
 
     rates = dict(overrides or {})
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
@@ -457,9 +457,7 @@ def stratified_sample(sf_dir: str, default_permille: int = 100,
 
     def sample(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        buckets = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
-             for i in ids), dtype=np.int64, count=len(ids))
+        buckets = md5_bucket(t["doc_id"])
         langs = t["lang"].to_numpy(zero_copy_only=False)
         limit = np.fromiter((rates.get(l, default_permille)
                              for l in langs),
@@ -553,31 +551,22 @@ def incremental_dedup(sf_dir: str, existing_min_bucket: int = 200,
     ``left_anti`` hash join above it; pytest pins the paths identical).
     The 64-bit membership key carries the module's documented ~2^-64
     collision approximation; the hex hash in the output is exact."""
-    import hashlib
-
     import ray
 
     from crawler_ray.ops.dedup import _join_partitions
+    from crawler_ray.ops.hashkeys import md5_bucket, md5_hex_and_key64
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def project(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        buckets = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
-             for i in ids), dtype=np.int64, count=len(ids))
-        digests = [hashlib.md5(s.encode("utf-8")).digest()
-                   for s in t["text"].to_pylist()]
-        h64 = np.fromiter((int.from_bytes(d[:8], "big") for d in digests),
-                          dtype=np.uint64,
-                          count=len(digests)).view(np.int64)
+        buckets = md5_bucket(t["doc_id"])
+        hexes, k64 = md5_hex_and_key64(t["text"])
         return pa.table({
             "doc_id": t["doc_id"],
             "bucket": pa.array(buckets, pa.int64()),
-            "text_hash": pa.array([d.hex() for d in digests],
-                                  pa.string()),
-            "h64": pa.array(h64, pa.int64()),
+            "text_hash": hexes,
+            "h64": pa.array(k64.view(np.int64), pa.int64()),
         })
 
     hashed = ds.map_batches(project, batch_format="pyarrow").materialize()
@@ -650,19 +639,18 @@ def shuffle_corpus(sf_dir: str, seed: int = 0):
     DuckDB twin replay the exact rank with a ROW_NUMBER over the hex
     prefix.  Output column is named ``shuffle_rank`` (``rank`` collides
     with the SQL window keyword)."""
-    import hashlib
-
+    import pyarrow.compute as pc
     import ray
+
+    from crawler_ray.ops.hashkeys import md5_key64
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id"])
 
     def key_of(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        k = np.fromiter(
-            (int.from_bytes(
-                hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big")
-             for i in ids), dtype=np.uint64, count=len(ids))
+        salted = pc.binary_join_element_wise(
+            f"{seed}:", pc.cast(t["doc_id"], pa.string()), "")
+        k = md5_key64(salted)
         # sign-flip: signed int64 order == unsigned order
         k = (k ^ np.uint64(1 << 63)).view(np.int64)
         return pa.table({"doc_id": t["doc_id"],

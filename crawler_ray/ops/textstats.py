@@ -9,7 +9,6 @@ winnowing fingerprint is not SQL-expressible (rows-only check).
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -254,8 +253,6 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
     ``Dataset.join`` so the winner table never lands on the driver
     (``broadcast_threshold=0`` forces the join path — pytest pins the
     two paths identical)."""
-    import hashlib
-
     import pyarrow.dataset as pads
     import ray
 
@@ -268,14 +265,12 @@ def curate_corpus(sf_dir: str, min_words: int = 30,
 
     def hash_and_count(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        texts = t["text"].to_pylist()
+
+        from crawler_ray.ops.hashkeys import md5_key64
+
         # md5-low64 bit-cast group key (the exchange/join key; the
         # module's documented ~2^-64 collision approximation)
-        h64 = np.fromiter(
-            (int.from_bytes(
-                hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
-             for s in texts),
-            dtype=np.uint64, count=len(texts)).view(np.int64)
+        h64 = md5_key64(t["text"]).view(np.int64)
         # same RE2 \S+ kernel as token_counts / text_quality and the
         # DuckDB twin — ONE token definition across the whole suite
         # (Python re's \S treats Unicode spaces like NBSP differently)
@@ -542,10 +537,8 @@ def dataset_split(sf_dir: str, test_permille: int = 100,
     v_cut = test_permille + val_permille
 
     def assign(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        buckets = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
-             for i in ids), dtype=np.int64, count=len(ids))
+        from crawler_ray.ops.hashkeys import md5_bucket
+        buckets = md5_bucket(t["doc_id"])
         split = np.where(buckets < t_cut, "test",
                          np.where(buckets < v_cut, "val", "train"))
         return pa.table({"doc_id": t["doc_id"],
@@ -717,10 +710,8 @@ def contamination_check(sf_dir: str, n: int = 3,
                             columns=["doc_id", "text"])
 
     def _split_mask(ids) -> np.ndarray:
-        b = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
-             for i in ids), dtype=np.int64, count=len(ids))
-        return b  # bucket; test < 100, train >= 200
+        from crawler_ray.ops.hashkeys import md5_bucket
+        return md5_bucket(ids)  # bucket; test < 100, train >= 200
 
     _FNV = np.uint64(1099511628211)
 
