@@ -144,7 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.ops import textstats, urls_jobs
     from crawler_ray.state import history
 
-    return {
+    return _reorder({
         # relational / aggregation / join / window (SURVEY §2 A1-A11,
         # O1-O9, J1-J7, M25, §2.9)
         "pricing_summary": relational.pricing_summary,
@@ -213,6 +213,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": filtering.normalize_text,
         "shuffle_corpus": filtering.shuffle_corpus,
         "length_percentiles": filtering.length_percentiles,
+        # the composed chain: line_dedup -> normalize -> quality ->
+        # exact-dedup winners -> split, one fused plan, one SQL replay.
+        # Gate constants relaxed vs the Gopher defaults (min_words 20,
+        # dup_frac cap 600 permille) so the sf word-soup corpus yields
+        # a non-trivial survivor set (284/500 at sf0.01) — the SQL twin
+        # uses the same constants
+        "curate_pipeline": lambda sf_dir: filtering.curate_pipeline(
+            sf_dir, min_words=20, max_dup_frac_milli=600),
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
@@ -246,7 +254,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tables; semantics pytest-pinned in tests/test_entities.py)
         "crawl_experts": _crawl_experts,
         "crawl_domain_content": _crawl_domain_content,
-    }
+    })
+
+
+# The driver checks the FIRST 50 queries per round.  Rotate so every
+# oracle-bearing query has a check no older than one round: the front
+# of the list is (a) the 7 oracle queries CORRECTNESS_r04 missed, (b)
+# the crawl conformance family, (c) every op whose code changed this
+# round, then the rest of the oracle set; the tail (>50) holds queries
+# hash-green in r04 on since-untouched code plus rows-only entries
+# whose semantics are pytest-pinned (ANN recall, fingerprints,
+# payload plumbing).
+_DRIVER_ORDER = [
+    # (a) oracle-bearing, unchecked in r04
+    "curate_pipeline", "job_priorities", "url_part_stats",
+    "history_eviction", "table_crud", "table_crud_counts",
+    "payload_meta",
+    # (b) crawl conformance family (rows-only by design)
+    "crawl_trace", "crawl_content_items", "crawl_host_rates",
+    "crawl_failed_urls", "crawl_experts", "crawl_domain_content",
+    # (c) code changed this round (hashkeys rewire + fused pipeline)
+    "exact_dedup", "similarity_dedup", "curate_corpus", "top_bigrams",
+    "dataset_split", "contamination_check", "line_dedup",
+    "quality_filter", "stratified_sample", "incremental_dedup",
+    "normalize_text", "shuffle_corpus",
+    # remaining oracle-bearing set, r04-green
+    "minhash_pairs", "minhash_dedup_keep", "simhash_pairs",
+    "simhash_dedup_keep", "ngram_jaccard_pairs",
+    "ngram_jaccard_dedup_keep", "embedding_dup_pairs",
+    "embedding_dedup_keep", "knn_bruteforce", "token_counts",
+    "lang_id", "text_quality", "classify_docs", "pii_scrub",
+    "repetition_stats", "chunk_documents", "pack_manifest",
+    "source_quota", "length_percentiles", "url_normalize",
+    "sessionize", "tumbling_window", "clicks_asof_views",
+    "pricing_summary", "customers_no_orders",
+    # ---- beyond the 50-query window ----
+    "top_parts", "orders_filter", "events_by_type", "brand_revenue",
+    "region_customers", "user_top_events", "error_recent_activity",
+    "domain_content_links", "expert_domain_links", "fingerprints",
+    "classify_docs_model", "knn_ivf", "knn_lsh", "url_patterns",
+    "payload_features", "payload_frames", "payload_stats",
+]
+
+
+def _reorder(q: dict) -> dict:
+    missing = [k for k in q if k not in _DRIVER_ORDER]
+    extra = [k for k in _DRIVER_ORDER if k not in q]
+    if missing or extra:  # fail loud: a new query must be placed
+        raise KeyError(f"_DRIVER_ORDER out of sync: missing={missing} "
+                       f"extra={extra}")
+    return {k: q[k] for k in _DRIVER_ORDER}
 
 
 _SYNTH_URL_SQL = """
@@ -1037,6 +1094,99 @@ def oracle_sql() -> dict[str, str]:
             FROM p, cum, tot
             WHERE cum.cm >= (p.pct * tot.c + 99) // 100
             GROUP BY p.pct
+        """,
+        # literal replay of ops/filtering.py:curate_pipeline defaults —
+        # the line_dedup / normalize_text / quality_filter /
+        # exact_dedup / dataset_split CTEs nested in the engine's stage
+        # order (line dedup MUST precede normalization: normalization
+        # collapses the newlines line dedup groups on).  The engine
+        # groups the dedup stage by md5-low64 where the SQL groups by
+        # the full hex — identical up to the documented ~2^-64
+        # collisions.
+        "curate_pipeline": r"""
+            WITH l AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(len(string_split(text, chr(10)))))
+                           AS li
+                FROM documents
+            ), c AS (
+                SELECT line, COUNT(*) AS n
+                FROM l WHERE line <> '' GROUP BY line
+            ), k AS (
+                SELECT l.doc_id, l.li, l.line
+                FROM l LEFT JOIN c USING (line)
+                WHERE l.line = '' OR c.n < 2
+            ), ld AS (
+                SELECT d.doc_id,
+                       CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+                           AS n_lines,
+                       CAST(len(string_split(d.text, chr(10)))
+                            - COUNT(k.li) AS BIGINT) AS n_dropped,
+                       COALESCE(string_agg(k.line, chr(10)
+                                           ORDER BY k.li), '')
+                           AS text_clean
+                FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+                GROUP BY d.doc_id, d.text
+            ), nrm AS (
+                SELECT doc_id, n_lines, n_dropped,
+                       regexp_replace(regexp_replace(
+                           nfc_normalize(text_clean), '\s+', ' ', 'g'),
+                           '^ +| +$', '', 'g') AS text_norm
+                FROM ld
+            ), tok AS (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text_norm, ' ')) AS w
+                    FROM nrm)
+                WHERE w <> ''
+            ), pair AS (
+                SELECT doc_id, w, COUNT(*) AS c
+                FROM tok GROUP BY doc_id, w
+            ), agg AS (
+                SELECT doc_id, SUM(c) AS total, COUNT(*) AS dct,
+                       MAX(c) AS top, SUM(c * length(w)) AS chars
+                FROM pair GROUP BY doc_id
+            ), st AS (
+                SELECT n.doc_id, n.n_lines, n.n_dropped, n.text_norm,
+                       COALESCE(a.total, 0) AS n_words,
+                       (1000 * COALESCE(a.chars, 0))
+                           // GREATEST(COALESCE(a.total, 0), 1)
+                           AS mwl,
+                       (1000 * COALESCE(a.top, 0))
+                           // GREATEST(COALESCE(a.total, 0), 1)
+                           AS tsh,
+                       (1000 * (COALESCE(a.total, 0)
+                                - COALESCE(a.dct, 0)))
+                           // GREATEST(COALESCE(a.total, 0), 1)
+                           AS dfr
+                FROM nrm n LEFT JOIN agg a USING (doc_id)
+            ), kept AS (
+                SELECT doc_id, n_lines, n_dropped, n_words, text_norm
+                FROM st
+                WHERE NOT (n_words < 20 OR n_words > 100000
+                           OR mwl < 3000 OR mwl > 10000
+                           OR tsh > 200 OR dfr > 600)
+            ), ded AS (
+                SELECT md5(text_norm) AS text_hash, MIN(doc_id) AS win,
+                       COUNT(*) AS n_copies
+                FROM kept GROUP BY 1
+            )
+            SELECT kk.doc_id, kk.n_lines, kk.n_dropped,
+                   CAST(kk.n_words AS BIGINT) AS n_words,
+                   CAST(dd.n_copies AS BIGINT) AS n_copies,
+                   dd.text_hash,
+                   CASE WHEN b.bucket < 100 THEN 'test'
+                        WHEN b.bucket < 200 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM kept kk
+            JOIN ded dd ON md5(kk.text_norm) = dd.text_hash
+                       AND kk.doc_id = dd.win
+            JOIN (SELECT doc_id,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8))::BIGINT % 1000 AS bucket
+                  FROM documents) b
+              ON kk.doc_id = b.doc_id
         """,
         # concat-then-split packing manifest: the window-function prefix
         # sum is the SQL statement of the engine's two-level distributed

@@ -21,7 +21,11 @@ deliberately:
    and ``finish`` hook, and emit a typed Arrow table.
 
 Bytes moved = the partial tables, once; no sort of the full stream, no
-per-group Python.  The per-range output refs live in the object store:
+per-group Python.  The zero-copy range slices rely on Ray's Arrow
+serializer truncating sliced buffers in transit — with plain pickle a
+1%% slice would ship its ENTIRE parent block, turning the K-way split
+into K full copies; ``tests/test_exchange.py`` pins the truncation
+(fan-out bytes ~= parent bytes) so a Ray regression fails loudly.  The per-range output refs live in the object store:
 feed them to ``ray.data.from_arrow_refs`` for a join side or further
 Dataset work, or ``ray.get`` + concatenate under a broadcast threshold
 (range order == global key order, so the concatenation is sorted).

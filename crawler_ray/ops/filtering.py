@@ -10,6 +10,8 @@ and the pair-building dedup family (``dedup``):
 - ``normalize_text``    — NFC + whitespace canonicalization
 - ``shuffle_corpus``    — deterministic global shuffle with exact ranks
 - ``length_percentiles``— exact corpus length percentiles via histogram
+- ``curate_pipeline``   — the fused line_dedup -> normalize -> quality
+  -> exact-dedup -> split chain as one plan
 
 Every operator is a streaming Ray Data plan over the documents table and
 has a DuckDB twin in ``__ray_entry__.oracle_sql`` (rows+schema+hash
@@ -27,7 +29,7 @@ import pyarrow as pa
 
 __all__ = ["line_dedup", "quality_filter", "source_quota",
            "stratified_sample", "incremental_dedup", "normalize_text",
-           "shuffle_corpus", "length_percentiles"]
+           "shuffle_corpus", "length_percentiles", "curate_pipeline"]
 
 
 def _rd():
@@ -54,6 +56,18 @@ _COMMON_CACHE: dict = {}
 def line_dedup(sf_dir: str, min_count: int = 2,
                broadcast_threshold: int = 5_000_000,
                join_partitions: int | None = None):
+    """Parquet-reading wrapper around :func:`_line_dedup_ds` — see its
+    docstring for the algorithm and plan shape."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return _line_dedup_ds(ds, min_count=min_count,
+                          broadcast_threshold=broadcast_threshold,
+                          join_partitions=join_partitions)
+
+
+def _line_dedup_ds(ds, min_count: int = 2,
+                   broadcast_threshold: int = 5_000_000,
+                   join_partitions: int | None = None):
     """Corpus-wide duplicated-line removal (CCNet, Wenzek et al. 2020
     §3.1): a line that occurs at least ``min_count`` times across the
     whole corpus is boilerplate (nav bars, cookie banners, footers) and
@@ -88,14 +102,17 @@ def line_dedup(sf_dir: str, min_count: int = 2,
     Counting groups by the 64-bit line hash, not the line string — the
     same documented ~2^-64 collision approximation as
     ``ngram_jaccard_pairs``; the DuckDB twin groups by the string and
-    matches up to those collisions."""
+    matches up to those collisions.
+
+    ``ds`` must be a LAZY (doc_id, text) Dataset: both the count pass
+    and the rebuild pass execute it, which for a parquet read (or any
+    cheap scan chain, e.g. ``curate_pipeline``'s raw read) just streams
+    the source twice — the at-scale alternative would materialize the
+    whole corpus in the object store between passes."""
     import pyarrow.compute as pc
     import ray
 
     from crawler_ray.ops.dedup import _join_partitions, _token_hashes
-
-    path = f"{sf_dir}/documents.parquet"
-    ds = _rd().read_parquet(path, columns=["doc_id", "text"])
 
     def _explode(t: pa.Table):
         """(doc_ids, line_idx, flat_lines, n_lines_per_doc) for a batch."""
@@ -257,12 +274,13 @@ def line_dedup(sf_dir: str, min_count: int = 2,
         t2 = t.take(pa.array(order))
         ss = shard[order]
         bounds = np.searchsorted(ss, np.arange(k + 1))
-        # combine_chunks per slice: ship only each shard's bytes, not
-        # K views of the parent block (see tests/test_exchange.py
-        # byte-accounting pin)
+        # raw slices are safe to return: Ray's Arrow serializer
+        # truncates sliced buffers in transit, so each shard ships only
+        # its own bytes (pinned in tests/test_exchange.py — note plain
+        # pickle would ship the parent block per slice)
         return tuple(
             t2.slice(bounds[i], bounds[i + 1] - bounds[i])
-            .combine_chunks() for i in range(k))
+            for i in range(k))
 
     @_ray.remote
     def rebuild(*shards) -> pa.Table:
@@ -338,53 +356,14 @@ def quality_filter(sf_dir: str, min_words: int = 50,
     One streaming scan; per batch the token spine is flattened once and
     tallied with a composite pandas groupby (C loops), exactly the
     ``repetition_stats`` shape plus a character-sum column."""
-    import pandas as pd
-    import pyarrow.compute as pc
-
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
+    th = (min_words, max_words, min_mean_wlen_milli, max_mean_wlen_milli,
+          max_top_share_milli, max_dup_frac_milli)
 
     def gate(t: pa.Table) -> pa.Table:
-        words = pc.split_pattern(t["text"], " ")
-        lens = pc.list_value_length(words).to_numpy()
-        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
-        row_idx = np.repeat(np.arange(len(lens)), lens)
-        mask = flat != ""
-        flat, row_idx = flat[mask], row_idx[mask]
-
-        n = t.num_rows
-        total = np.zeros(n, dtype=np.int64)
-        distinct = np.zeros(n, dtype=np.int64)
-        top = np.zeros(n, dtype=np.int64)
-        chars = np.zeros(n, dtype=np.int64)
-        if len(flat):
-            wlen = np.char.str_len(flat.astype(str))
-            df = pd.DataFrame({"r": row_idx, "w": flat, "c": wlen})
-            per_pair = df.groupby(["r", "w"], sort=False)["c"].agg(
-                "size")
-            cnt = per_pair.groupby(level=0, sort=False)
-            idx = cnt.sum().index.to_numpy()
-            total[idx] = cnt.sum().to_numpy()
-            distinct[idx] = cnt.size().to_numpy()
-            top[idx] = cnt.max().to_numpy()
-            chars[idx] = np.bincount(row_idx, weights=wlen,
-                                     minlength=n)[idx].astype(np.int64)
-
-        safe = np.maximum(total, 1)
-        mean_wlen = 1000 * chars // safe
-        top_share = 1000 * top // safe
-        dup_frac = 1000 * (total - distinct) // safe
-
-        reason = np.full(n, "keep", dtype=object)
-        # reverse order so earlier rules overwrite later ones =>
-        # first-failing-rule-wins with pure vector stores
-        reason[dup_frac > max_dup_frac_milli] = "repetitive"
-        reason[top_share > max_top_share_milli] = "top_word"
-        reason[mean_wlen > max_mean_wlen_milli] = "long_words"
-        reason[mean_wlen < min_mean_wlen_milli] = "short_words"
-        reason[total > max_words] = "too_long"
-        reason[total < min_words] = "too_short"
-
+        total, mean_wlen, top_share, dup_frac, reason = _quality_stats(
+            t["text"], *th)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_words": pa.array(total, pa.int64()),
@@ -395,6 +374,59 @@ def quality_filter(sf_dir: str, min_words: int = 50,
         })
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def _quality_stats(text, min_words, max_words, min_mean_wlen_milli,
+                   max_mean_wlen_milli, max_top_share_milli,
+                   max_dup_frac_milli):
+    """The Gopher gate kernel over one batch's text column — returns
+    (n_words, mean_wlen_milli, top_share_milli, dup_frac_milli, reason)
+    as numpy arrays.  Shared by ``quality_filter`` and the fused
+    ``curate_pipeline`` stage so the rule order and milli scaling have
+    exactly one definition."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(text, " ")
+    lens = pc.list_value_length(words).to_numpy()
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(len(lens)), lens)
+    mask = flat != ""
+    flat, row_idx = flat[mask], row_idx[mask]
+
+    n = len(lens)
+    total = np.zeros(n, dtype=np.int64)
+    distinct = np.zeros(n, dtype=np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    chars = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        wlen = np.char.str_len(flat.astype(str))
+        df = pd.DataFrame({"r": row_idx, "w": flat, "c": wlen})
+        per_pair = df.groupby(["r", "w"], sort=False)["c"].agg(
+            "size")
+        cnt = per_pair.groupby(level=0, sort=False)
+        idx = cnt.sum().index.to_numpy()
+        total[idx] = cnt.sum().to_numpy()
+        distinct[idx] = cnt.size().to_numpy()
+        top[idx] = cnt.max().to_numpy()
+        chars[idx] = np.bincount(row_idx, weights=wlen,
+                                 minlength=n)[idx].astype(np.int64)
+
+    safe = np.maximum(total, 1)
+    mean_wlen = 1000 * chars // safe
+    top_share = 1000 * top // safe
+    dup_frac = 1000 * (total - distinct) // safe
+
+    reason = np.full(n, "keep", dtype=object)
+    # reverse order so earlier rules overwrite later ones =>
+    # first-failing-rule-wins with pure vector stores
+    reason[dup_frac > max_dup_frac_milli] = "repetitive"
+    reason[top_share > max_top_share_milli] = "top_word"
+    reason[mean_wlen > max_mean_wlen_milli] = "long_words"
+    reason[mean_wlen < min_mean_wlen_milli] = "short_words"
+    reason[total > max_words] = "too_long"
+    reason[total < min_words] = "too_short"
+    return total, mean_wlen, top_share, dup_frac, reason
 
 
 # ---------------------------------------------------------------------------
@@ -494,26 +526,12 @@ def normalize_text(sf_dir: str):
     replay the exact same transforms; RE2's ``\\s`` is ASCII whitespace
     on both sides (NBSP et al. survive — the lang/token ops already
     treat them consistently)."""
-    import unicodedata
-
-    import pyarrow.compute as pc
-
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
 
     def norm(t: pa.Table) -> pa.Table:
-        text = t["text"].combine_chunks()
-        nonascii = np.flatnonzero(
-            pc.not_equal(pc.binary_length(text),
-                         pc.utf8_length(text)).to_numpy(
-                             zero_copy_only=False))
-        if len(nonascii):
-            vals = text.to_pylist()
-            for i in nonascii:
-                vals[i] = unicodedata.normalize("NFC", vals[i])
-            text = pa.array(vals, pa.string())
-        x = pc.replace_substring_regex(text, r"\s+", " ")
-        x = pc.replace_substring_regex(x, r"^ +| +$", "")
+        import pyarrow.compute as pc
+        x = _normalize_arr(t["text"])
         return pa.table({
             "doc_id": t["doc_id"],
             "text_norm": x,
@@ -521,6 +539,29 @@ def normalize_text(sf_dir: str):
         })
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def _normalize_arr(text) -> pa.Array:
+    """The ``normalize_text`` kernel over one batch's text column: NFC
+    (Python, non-ASCII minority only), RE2 whitespace collapse, edge
+    strip.  Shared with ``curate_pipeline``."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    nonascii = np.flatnonzero(
+        pc.not_equal(pc.binary_length(text),
+                     pc.utf8_length(text)).to_numpy(
+                         zero_copy_only=False))
+    if len(nonascii):
+        vals = text.to_pylist()
+        for i in nonascii:
+            vals[i] = unicodedata.normalize("NFC", vals[i])
+        text = pa.array(vals, pa.string())
+    x = pc.replace_substring_regex(text, r"\s+", " ")
+    return pc.replace_substring_regex(x, r"^ +| +$", "")
 
 
 # ---------------------------------------------------------------------------
@@ -733,3 +774,169 @@ def length_percentiles(sf_dir: str,
         out_v.append(int(lengths[np.searchsorted(cum, rank)]))
     return pa.table({"pct": pa.array(out_p, pa.int64()),
                      "n_tokens": pa.array(out_v, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# fused end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+_WINNER_CACHE: dict = {}
+
+
+def curate_pipeline(sf_dir: str, min_count: int = 2,
+                    broadcast_threshold: int = 5_000_000,
+                    join_partitions: int | None = None,
+                    min_words: int = 50, max_words: int = 100_000,
+                    min_mean_wlen_milli: int = 3_000,
+                    max_mean_wlen_milli: int = 10_000,
+                    max_top_share_milli: int = 200,
+                    max_dup_frac_milli: int = 300,
+                    test_permille: int = 100, val_permille: int = 100):
+    """The composed corpus-curation chain as ONE engine plan —
+    line_dedup -> normalize_text -> quality_filter -> exact-dedup
+    winners -> dataset_split — over a single documents read, no
+    intermediate parquet sinks (the ``curate`` CLI's resumable-pass
+    twin, fused).  Output per SURVIVING document: (doc_id, n_lines,
+    n_dropped, n_words, n_copies, text_hash, split).
+
+    Stage order is semantic, not arbitrary: normalization collapses
+    newlines, so CCNet line dedup MUST run on the raw text first; the
+    quality gate and the exact dedup then score/hash the normalized
+    text so visually-identical docs collide; the split stamp is
+    content-independent and lands last.  A document survives when (a)
+    its de-boilerplated normalized text passes every Gopher rule and
+    (b) it is the min-doc_id winner of its exact-hash group.
+
+    Plan shape: ``_line_dedup_ds`` streams the raw read twice (count +
+    rebuild — cheap scans, no corpus materialization); the fused
+    gate stage normalizes, scores, filters, hashes, and stamps the
+    split in one batch pass, after which TEXT IS GONE — the surviving
+    stream is (ids, stats, 8-byte + hex hashes), which is what gets
+    materialized for the winner exchange (~60 B/row; the 100-TB
+    alternative — recomputing the gate for a second pass — costs more
+    than it saves).  Winner selection is the usual planner decision:
+    the (h64, winner, n_copies) table broadcasts under
+    ``broadcast_threshold`` and the final pass filters by a
+    vectorized searchsorted; above it the exchange's per-range refs
+    become an inner-join side and the filter runs post-join (pytest
+    pins the paths identical)."""
+    import ray
+
+    from crawler_ray.ops.dedup import _join_partitions
+    from crawler_ray.ops.exchange import exchange_reduce
+    from crawler_ray.ops.hashkeys import md5_bucket, md5_hex_and_key64
+
+    th = (min_words, max_words, min_mean_wlen_milli, max_mean_wlen_milli,
+          max_top_share_milli, max_dup_frac_milli)
+    t_cut, v_cut = test_permille, test_permille + val_permille
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    ld = _line_dedup_ds(ds, min_count=min_count,
+                        broadcast_threshold=broadcast_threshold,
+                        join_partitions=join_partitions)
+
+    empty = pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64()),
+                       ("n_dropped", pa.int64()), ("n_words", pa.int64()),
+                       ("text_hash", pa.string()), ("h64", pa.int64()),
+                       ("split", pa.string())])
+
+    def gate(t: pa.Table) -> pa.Table:
+        text_norm = _normalize_arr(t["text_clean"])
+        total, _, _, _, reason = _quality_stats(text_norm, *th)
+        kidx = np.flatnonzero(reason == "keep")
+        if len(kidx) == 0:
+            return empty.empty_table()
+        take = pa.array(kidx)
+        ids = t["doc_id"].combine_chunks().take(take)
+        hexes, k64 = md5_hex_and_key64(text_norm.take(take))
+        buckets = md5_bucket(ids)
+        split = np.where(buckets < t_cut, "test",
+                         np.where(buckets < v_cut, "val", "train"))
+        return pa.table({
+            "doc_id": ids,
+            "n_lines": t["n_lines"].combine_chunks().take(take),
+            "n_dropped": t["n_dropped"].combine_chunks().take(take),
+            "n_words": pa.array(total[kidx], pa.int64()),
+            "text_hash": hexes,
+            "h64": pa.array(k64.view(np.int64), pa.int64()),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    # text ends here: the materialized survivor stream is ids + stats +
+    # hashes only, consumed twice (winner partials + the final filter)
+    gated = ld.map_batches(gate, batch_format="pyarrow").materialize()
+
+    def win_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h64": pa.array([], pa.int64()),
+                             "n_copies": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        h = t["h64"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], hs[1:] != hs[:-1]]))
+        docs = t["doc_id"].to_numpy()[order]
+        return pa.table({
+            "h64": pa.array(hs[starts], pa.int64()),
+            "n_copies": pa.array(
+                np.diff(np.append(starts, len(hs))), pa.int64()),
+            "doc_id": pa.array(np.minimum.reduceat(docs, starts)
+                               if len(starts) else docs, pa.int64()),
+        })
+
+    part = gated.map_batches(win_partial,
+                             batch_format="pyarrow").materialize()
+    n_groups, refs = exchange_reduce(part, "h64", sum_cols=("n_copies",),
+                                     min_cols=("doc_id",))
+
+    out_cols = ["doc_id", "n_lines", "n_dropped", "n_words", "n_copies",
+                "text_hash", "split"]
+
+    if n_groups <= broadcast_threshold:
+        tables = ray.get(list(refs))
+        winners = ray.put((
+            np.concatenate([t["h64"].to_numpy() for t in tables]),
+            np.concatenate([t["doc_id"].to_numpy() for t in tables]),
+            np.concatenate([t["n_copies"].to_numpy() for t in tables])))
+
+        def pick(t: pa.Table) -> pa.Table:
+            w = _WINNER_CACHE.get(winners.hex())
+            if w is None:
+                _WINNER_CACHE.clear()
+                w = ray.get(winners)
+                _WINNER_CACHE[winners.hex()] = w
+            hs, win, n = w
+            h = t["h64"].to_numpy()
+            if len(hs) == 0:
+                keep = np.zeros(len(h), dtype=bool)
+                nc = np.array([], dtype=np.int64)
+            else:
+                pos = np.searchsorted(hs, h)
+                np.clip(pos, 0, len(hs) - 1, out=pos)
+                keep = win[pos] == t["doc_id"].to_numpy()
+                nc = n[pos][keep]
+            out = t.filter(pa.array(keep)).append_column(
+                "n_copies", pa.array(nc, pa.int64()))
+            return out.select(out_cols)
+
+        return gated.map_batches(pick, batch_format="pyarrow")
+
+    # join path: the per-range winner refs become the join side — the
+    # winner table never lands on the driver
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"h64": t["h64"], "win_doc": t["doc_id"],
+                         "n_copies": t["n_copies"]})
+
+    winners_ds = (_rd().from_arrow_refs(list(refs))
+                  .map_batches(rename, batch_format="pyarrow"))
+    joined = gated.join(winners_ds, "inner",
+                        num_partitions=_join_partitions(join_partitions),
+                        on=("h64",))
+
+    def post(t: pa.Table) -> pa.Table:
+        keep = t["doc_id"].to_numpy() == t["win_doc"].to_numpy()
+        return t.filter(pa.array(keep)).select(out_cols)
+
+    return joined.map_batches(post, batch_format="pyarrow")

@@ -300,3 +300,66 @@ def test_length_percentiles_sf(ray_session):
     t = filtering.length_percentiles(SF_DIR)
     vals = t["n_tokens"].to_pylist()
     assert vals == sorted(vals) and len(vals) == 6
+
+
+# -- curate_pipeline (the fused chain) ---------------------------------------
+
+@pytest.fixture()
+def curate_sf(tmp_path):
+    """Docs exercising every chain stage: boilerplate lines that only
+    line_dedup removes, whitespace variants that only normalization
+    collides, quality failures, and exact duplicates with a clear
+    min-doc_id winner."""
+    good = " ".join(f"word{i:03d}" for i in range(60))   # passes the gate
+    other = " ".join(f"item{i:03d}" for i in range(60))
+    return _write_docs(tmp_path, [
+        f"{BOILER}\n{good}",                 # 0: survives, dup winner
+        f"{BOILER}\n{good}  ",               #  1: normalizes == doc 0
+        f"{other}\nextra tail line",         # 2: survives, unique
+        BOILER,                              # 3: all lines drop -> too_short
+        "tiny doc",                          # 4: too_short
+        " ".join(["dup"] * 80),              # 5: gated (top_word share)
+    ])
+
+
+def test_curate_pipeline_planted(ray_session, curate_sf):
+    rows = {r["doc_id"]: r
+            for r in filtering.curate_pipeline(curate_sf).take_all()}
+    # winners only: doc 0 beats its normalized twin 1; docs 3-5 gated out
+    assert set(rows) == {0, 2}
+    assert rows[0]["n_copies"] == 2
+    assert rows[2]["n_copies"] == 1
+    # line dedup ran before normalization: the boilerplate dropped
+    assert (rows[0]["n_lines"], rows[0]["n_dropped"]) == (2, 1)
+    assert rows[0]["n_words"] == 60
+    assert rows[2]["n_words"] == 63
+    # hash is md5 of the NORMALIZED deduped text
+    import hashlib
+    good = " ".join(f"word{i:03d}" for i in range(60))
+    assert rows[0]["text_hash"] == hashlib.md5(good.encode()).hexdigest()
+    assert rows[2]["n_dropped"] == 0
+    # split stamp matches the dataset_split bucket rule
+    b0 = int(hashlib.md5(b"0").hexdigest()[:8], 16) % 1000
+    exp = "test" if b0 < 100 else ("val" if b0 < 200 else "train")
+    assert rows[0]["split"] == exp
+
+
+def test_curate_pipeline_join_path_equivalent(ray_session, curate_sf):
+    """broadcast_threshold=0 forces BOTH nested planner decisions down
+    their join paths (line_dedup's left_anti and the winner inner
+    join); output must be identical to the broadcast plan."""
+    key = lambda r: r["doc_id"]
+    bc = sorted(filtering.curate_pipeline(curate_sf).take_all(), key=key)
+    jn = sorted(filtering.curate_pipeline(
+        curate_sf, broadcast_threshold=0).take_all(), key=key)
+    assert bc == jn
+
+
+def test_curate_pipeline_empty_survivors(ray_session, tmp_path):
+    """A corpus where nothing survives still yields a typed empty
+    result on both planner paths."""
+    sf = _write_docs(tmp_path, ["tiny", "also tiny"])
+    out = filtering.curate_pipeline(sf)
+    assert out.count() == 0
+    out_j = filtering.curate_pipeline(sf, broadcast_threshold=0)
+    assert out_j.count() == 0
