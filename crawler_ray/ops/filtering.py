@@ -236,60 +236,141 @@ def _line_dedup_ds(ds, min_count: int = 2,
         return out
 
     exploded = ds.map_batches(explode_rows, batch_format="pyarrow")
-    # the exchange's per-range refs become the join side directly —
-    # typed blocks, never on the driver
-    common_r = _rd().from_arrow_refs(common_refs)
     n_parts = _join_partitions(join_partitions)
-    kept = exploded.join(common_r, "left_anti", num_partitions=n_parts,
-                         on=("line_hash",))
-
-    # Reassembly: co-locate each document's surviving rows with a raw
-    # hash exchange on doc_id (the join partitioned by line_hash, so
-    # docs are scattered), then rebuild MANY docs per combiner with the
-    # same bounded pandas C-loop groupby the broadcast path uses — never
-    # one Python call per document.  Ray Data's keyed repartition needs
-    # the global HASH_SHUFFLE strategy (measured pathological here, see
-    # ops/exchange.py); the same split/combine raw-task shape does the
-    # single all-to-all the problem requires and nothing more.
     import ray as _ray
 
-    co = kept.materialize()
-    blocks = [block_ref
-              for bundle in co.iter_internal_ref_bundles()
-              for block_ref, meta in bundle.blocks
-              if (meta.num_rows or 0) > 0]
-    if not blocks:
+    # Two concurrent exchanges so TEXT SHIPS EXACTLY ONCE (an earlier
+    # version anti-joined the full exploded rows by line_hash and then
+    # re-exchanged survivors by doc_id — text crossed the wire twice
+    # and the Acero join alone measured 9.1 s of a 24 s 1M-doc run):
+    #
+    #   light hop   (doc_id, li, line_hash) rows — 24 B/row, no text —
+    #               route by line_hash range to K1 combiners, each
+    #               holding ITS zero-copy slice of the common table
+    #               (slices of disjoint increasing ranges concatenate
+    #               already sorted); one vectorized binary search emits
+    #               the DROPPED (doc_id, li) pairs, split by doc shard;
+    #   full hop    the exploded rows WITH text route by doc shard
+    #               straight from the explode — the one all-to-all the
+    #               CCNet shuffle genuinely requires;
+    #   rebuild     each doc-shard combiner anti-filters its full rows
+    #               against its dropped pairs (pandas C hash-merge on
+    #               two int64 columns) and reassembles MANY docs per
+    #               call with the same bounded pandas groupby the
+    #               broadcast path uses — never one Python call per doc.
+    #
+    # Ray Data's keyed repartition needs the global HASH_SHUFFLE
+    # strategy (measured pathological here, see ops/exchange.py); this
+    # raw-task split/combine shape moves the minimum bytes the problem
+    # allows: text once, 24 B/row hashes twice.
+    co = exploded.materialize()
+    row_blocks = [block_ref
+                  for bundle in co.iter_internal_ref_bundles()
+                  for block_ref, meta in bundle.blocks
+                  if (meta.num_rows or 0) > 0]
+    if not row_blocks:
         return _rd().from_arrow(out_schema.empty_table())
-    k = max(2, min(n_parts, len(blocks) * 4))
+    k1 = max(2, min(n_parts, len(row_blocks) * 4))
+    k = max(2, min(n_parts, len(row_blocks) * 4))
+    cuts = np.linspace(-2.0**63, 2.0**63, k1 + 1)[1:-1].astype(np.int64)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
 
-    @_ray.remote
-    def split_docs(t: pa.Table):
-        t = t.select(["doc_id", "li", "line", "n_lines"])
+    def _doc_shard_split(t: pa.Table):
+        """Split a table into k slices by the multiply-mix doc shard —
+        sequential doc_ids spread uniformly, so skew is impossible by
+        construction.  Raw slices are safe to return: Ray's Arrow
+        serializer truncates sliced buffers in transit (pinned in
+        tests/test_exchange.py — plain pickle would ship the parent
+        block per slice)."""
         d = t["doc_id"].to_numpy().astype(np.uint64)
-        # multiply-mix then take high bits: sequential doc_ids spread
-        # uniformly, so shard skew is impossible by construction
-        shard = (((d * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32))
+        shard = (((d * MIX) >> np.uint64(32))
                  % np.uint64(k)).astype(np.int64)
         order = np.argsort(shard, kind="stable")
         t2 = t.take(pa.array(order))
         ss = shard[order]
         bounds = np.searchsorted(ss, np.arange(k + 1))
-        # raw slices are safe to return: Ray's Arrow serializer
-        # truncates sliced buffers in transit, so each shard ships only
-        # its own bytes (pinned in tests/test_exchange.py — note plain
-        # pickle would ship the parent block per slice)
         return tuple(
             t2.slice(bounds[i], bounds[i + 1] - bounds[i])
             for i in range(k))
 
     @_ray.remote
-    def rebuild(*shards) -> pa.Table:
-        return _reassemble_rows(pa.concat_tables(shards), out_schema)
+    def split_light(*blocks):
+        lt = pa.concat_tables(
+            b.select(["doc_id", "li", "line_hash"]) for b in blocks)
+        order = np.argsort(lt["line_hash"].to_numpy(), kind="stable")
+        t2 = lt.take(pa.array(order))
+        keys = t2["line_hash"].to_numpy()
+        idx = np.searchsorted(keys, cuts)
+        bounds = np.concatenate([[0], idx, [len(keys)]])
+        return tuple(t2.slice(bounds[i], bounds[i + 1] - bounds[i])
+                     for i in range(k1))
 
-    split_refs = [split_docs.options(num_returns=k).remote(b)
-                  for b in blocks]
-    per_shard = [[sr[s] for sr in split_refs] for s in range(k)]
-    refs = [rebuild.remote(*per_shard[s]) for s in range(k)]
+    @_ray.remote
+    def split_common(ct: pa.Table):
+        keys = ct["line_hash"].to_numpy()
+        idx = np.searchsorted(keys, cuts)
+        bounds = np.concatenate([[0], idx, [len(keys)]])
+        return tuple(keys[bounds[i]:bounds[i + 1]] for i in range(k1))
+
+    @_ray.remote
+    def split_full(*blocks):
+        return _doc_shard_split(pa.concat_tables(
+            b.select(["doc_id", "li", "line", "n_lines"])
+            for b in blocks))
+
+    @_ray.remote
+    def member_combine(nc: int, *parts):
+        """Dropped (doc_id, li) pairs of one line_hash range, split by
+        doc shard for the rebuild combiners."""
+        commons = [p for p in parts[:nc] if len(p)]
+        t = pa.concat_tables(parts[nc:])
+        if t.num_rows and commons:
+            srt = np.concatenate(commons)  # sorted by construction
+            h = t["line_hash"].to_numpy()
+            pos = np.searchsorted(srt, h)
+            np.clip(pos, 0, len(srt) - 1, out=pos)
+            t = t.filter(pa.array(srt[pos] == h))
+        elif not commons:
+            t = t.slice(0, 0)
+        return _doc_shard_split(t.select(["doc_id", "li"]))
+
+    @_ray.remote
+    def rebuild(nd: int, *parts) -> pa.Table:
+        import pandas as pd
+        dropped = pa.concat_tables(parts[:nd])
+        full = pa.concat_tables(parts[nd:])
+        if dropped.num_rows and full.num_rows:
+            left = full.select(["doc_id", "li"]).to_pandas()
+            dd = dropped.to_pandas()
+            dd["__drop"] = True
+            merged = left.merge(dd, on=["doc_id", "li"], how="left")
+            full = full.filter(
+                pa.array(merged["__drop"].isna().to_numpy()))
+        return _reassemble_rows(full, out_schema)
+
+    # coalesce input blocks to ~k split tasks: 256 blocks x k returns
+    # was ~25k tiny objects and measured SLOWER than the Acero join it
+    # replaced; grouped, each exchange is k x k objects
+    groups = [g.tolist() for g in
+              np.array_split(np.arange(len(row_blocks)),
+                             min(len(row_blocks), k))]
+    block_groups = [[row_blocks[i] for i in g] for g in groups if len(g)]
+    light_refs = [split_light.options(num_returns=k1).remote(*g)
+                  for g in block_groups]
+    csplit = [split_common.options(num_returns=k1).remote(c)
+              for c in common_refs]
+    full_refs = [split_full.options(num_returns=k).remote(*g)
+                 for g in block_groups]
+    dropped_refs = [
+        member_combine.options(num_returns=k).remote(
+            len(csplit),
+            *[cs[j] for cs in csplit],
+            *[lr[j] for lr in light_refs])
+        for j in range(k1)]
+    refs = [rebuild.remote(k1,
+                           *[dr[s] for dr in dropped_refs],
+                           *[fr[s] for fr in full_refs])
+            for s in range(k)]
     return _rd().from_arrow_refs(refs)
 
 
