@@ -202,3 +202,35 @@ def test_keyword_classifier_model_backed(tmp_path):
     out = clf(batch)
     assert out["content_type"].to_pylist()[0] == "question"
     assert "civil" in out["domains"].to_pylist()[1]
+
+
+def test_classify_docs_model_planted_labels(tmp_path):
+    """Content-level twin for the driver's rows-only
+    ``classify_docs_model`` entry: the seeded model trained at fixture
+    scale must produce EXACT labels for planted keyword-dominated docs
+    THROUGH the driver op itself (not just the bare classifier), so the
+    CORRECTNESS row has a value-level pytest pin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.textstats import classify_docs_model
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    texts = [
+        "query table join scan filter sort query table",      # sql
+        "stream window watermark event batch state stream",   # streaming
+        "vector model train embed feature label vector",      # ml
+        "the a of runs with fast small part first next and then",  # other
+        "join join scan scan filter table query sort",        # sql
+        "embed embed feature label train model",              # ml
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    out = (classify_docs_model(str(sf), model_dir=str(tmp_path / "m"))
+           .to_pandas().sort_values("doc_id"))
+    assert out["pred_class"].tolist() == [
+        "sql", "streaming", "ml", "other", "sql", "ml"]

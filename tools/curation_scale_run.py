@@ -125,12 +125,16 @@ def main() -> None:
                  "contamination_check", "line_dedup", "quality_filter",
                  "source_quota", "stratified_sample",
                  "incremental_dedup", "normalize_text",
-                 "shuffle_corpus"):
+                 "shuffle_corpus", "curate_pipeline"):
         sink = os.path.join(WORK, "out", name)
         shutil.rmtree(sink, ignore_errors=True)
         t0 = time.time()
         fn = getattr(textstats, name, None) or getattr(filtering, name)
-        ds = fn(sf)
+        # the driver query's relaxed gate constants — Gopher defaults
+        # keep zero word-soup docs (dup_frac fails them all)
+        kwargs = ({"min_words": 20, "max_dup_frac_milli": 600}
+                  if name == "curate_pipeline" else {})
+        ds = fn(sf, **kwargs)
         ds.write_parquet(sink)
         out["passes"][name] = round(time.time() - t0, 1)
         sums[name] = sink
@@ -213,6 +217,35 @@ def main() -> None:
              f" min(shuffle_rank), max(shuffle_rank) FROM "
              f"read_parquet('{sums['shuffle_corpus']}/*.parquet')"
              ).fetchone()
+    # ...AND rank-EXACT at scale: a 10k-doc sample replayed against the
+    # full-corpus ROW_NUMBER over the md5 hex prefix.  Permutation-ness
+    # alone cannot catch a block-order regression in the private
+    # iter_internal_ref_bundles() ordering the op leans on; this can.
+    shuf_exact = q(
+        f"WITH r AS (SELECT doc_id,"
+        f"   ROW_NUMBER() OVER (ORDER BY"
+        f"     substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 16),"
+        f"     doc_id) - 1 AS rk"
+        f"   FROM read_parquet('{docs_pq}'))"
+        f" SELECT count(*) FROM"
+        f"   read_parquet('{sums['shuffle_corpus']}/*.parquet') s"
+        f"   JOIN r USING (doc_id)"
+        f" WHERE s.doc_id % 97 = 0 AND s.shuffle_rank <> r.rk"
+        ).fetchone()
+    # curate_pipeline: winners are hash-distinct, and the split stamp
+    # replays the md5 bucket rule on a sample
+    cur = q(f"SELECT count(*), count(DISTINCT text_hash) FROM "
+            f"read_parquet('{sums['curate_pipeline']}/*.parquet')"
+            ).fetchone()
+    cur_split = q(
+        f"SELECT count(*) FROM "
+        f"read_parquet('{sums['curate_pipeline']}/*.parquet')"
+        f" WHERE doc_id % 23 = 0 AND split <> ("
+        f"   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),"
+        f"        1, 8))::BIGINT % 1000 < 100 THEN 'test'"
+        f"        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),"
+        f"        1, 8))::BIGINT % 1000 < 200 THEN 'val'"
+        f"        ELSE 'train' END)").fetchone()
     # normalize_text: row-conserving; no double spaces or edge spaces
     # survive in changed rows
     norm = q(f"SELECT count(*),"
@@ -244,6 +277,10 @@ def main() -> None:
         "shuffle_exact_permutation": (
             int(shuf[0]) == N_DOCS and int(shuf[1]) == N_DOCS
             and int(shuf[2]) == 0 and int(shuf[3]) == N_DOCS - 1),
+        "shuffle_sample_rank_mismatches": int(shuf_exact[0]),
+        "curate_rows": int(cur[0]),
+        "curate_winners_distinct": int(cur[0]) == int(cur[1]),
+        "curate_split_sample_mismatches": int(cur_split[0]),
         "normalize_rows": int(norm[0]),
         "normalize_residual_ws": int(norm[1]),
         "stratified_replay_diff": int(strat_diff[0]),
@@ -263,6 +300,9 @@ def main() -> None:
           and out["invariants"]["source_quota_replay_diff"] == 0
           and out["invariants"]["incremental_replay_diff"] == 0
           and out["invariants"]["shuffle_exact_permutation"]
+          and out["invariants"]["shuffle_sample_rank_mismatches"] == 0
+          and out["invariants"]["curate_winners_distinct"]
+          and out["invariants"]["curate_split_sample_mismatches"] == 0
           and out["invariants"]["normalize_rows"] == N_DOCS
           and out["invariants"]["normalize_residual_ws"] == 0
           and out["invariants"]["stratified_replay_diff"] == 0)
