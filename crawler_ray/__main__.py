@@ -115,7 +115,11 @@ _CURATE_PASSES = ("pii_scrub", "repetition_stats", "dataset_split",
                   # selection layer (ops/filtering.py)
                   "line_dedup", "quality_filter", "source_quota",
                   "stratified_sample", "incremental_dedup",
-                  "normalize_text", "shuffle_corpus")
+                  "normalize_text", "shuffle_corpus",
+                  # the fused five-stage chain (ONE plan, one sink —
+                  # subsumes line_dedup/normalize/quality/exact-dedup/
+                  # split when only the final survivor set is wanted)
+                  "curate_pipeline")
 
 
 def cmd_curate(args) -> int:

@@ -76,3 +76,20 @@ def test_curate_writes_and_resumes(tmp_path, capsys, ray_session):
     rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep3["passes"] == {"dataset_split": "written"}
     assert pads.dataset(split_dir, format="parquet").count_rows() == 500
+
+
+def test_curate_cli_fused_pipeline(tmp_path, capsys, ray_session):
+    """The fused five-stage chain runs as a CLI pass with the same
+    resumable parquet sink contract."""
+    import pyarrow.dataset as pads
+
+    out = str(tmp_path / "curated")
+    assert main(["curate", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out, "--passes", "curate_pipeline"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["passes"] == {"curate_pipeline": "written"}
+    d = pads.dataset(os.path.join(out, "curate_pipeline"),
+                     format="parquet")
+    assert sorted(d.schema.names) == [
+        "doc_id", "n_copies", "n_dropped", "n_lines", "n_words",
+        "split", "text_hash"]
