@@ -141,6 +141,11 @@ def run_bench() -> dict:
         "shuffle_corpus": lambda: filtering.shuffle_corpus(sf_dir),
         "length_percentiles":
             lambda: filtering.length_percentiles(sf_dir),
+        # the fused five-stage chain (round 5) — the driver query's
+        # relaxed gate constants (Gopher defaults keep zero word-soup
+        # docs, making the timing vacuous)
+        "curate_pipeline": lambda: filtering.curate_pipeline(
+            sf_dir, min_words=20, max_dup_frac_milli=600),
     }
     for name, fn in suite.items():
         t0 = time.time()

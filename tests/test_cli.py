@@ -80,11 +80,23 @@ def test_curate_writes_and_resumes(tmp_path, capsys, ray_session):
 
 def test_curate_cli_fused_pipeline(tmp_path, capsys, ray_session):
     """The fused five-stage chain runs as a CLI pass with the same
-    resumable parquet sink contract."""
+    resumable parquet sink contract.  (Own fixture: the sf word-soup
+    tables keep zero docs under the library's Gopher defaults.)"""
+    import pyarrow as pa
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    texts = [" ".join(f"w{d}x{i:03d}" for i in range(60))
+             for d in range(8)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(sf / "documents.parquet"))
 
     out = str(tmp_path / "curated")
-    assert main(["curate", "--sf-dir", "/root/testdata/sf0.001",
+    assert main(["curate", "--sf-dir", str(sf),
                  "--out", out, "--passes", "curate_pipeline"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["passes"] == {"curate_pipeline": "written"}
