@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # uses the same constants
         "curate_pipeline": lambda sf_dir: filtering.curate_pipeline(
             sf_dir, min_words=20, max_dup_frac_milli=600),
+        # exact-substring (token-span) dedup scoring, Lee et al. 2022;
+        # span_tokens=20 so the sf docs (10-99 words) carry spans
+        "span_dedup": lambda sf_dir: filtering.span_dedup(
+            sf_dir, span_tokens=20),
         # crawl functions on SQL-checkable inputs (M1, O2, A5)
         "url_normalize": urls_jobs.url_normalize,
         "job_priorities": urls_jobs.job_priorities,
@@ -273,7 +277,9 @@ _DRIVER_ORDER = [
     # (b) crawl conformance family (rows-only by design)
     "crawl_trace", "crawl_content_items", "crawl_host_rates",
     "crawl_failed_urls", "crawl_experts", "crawl_domain_content",
-    # (c) code changed this round (hashkeys rewire + fused pipeline)
+    # (c) code changed this round (hashkeys rewire + fused pipeline +
+    # the new span_dedup)
+    "span_dedup",
     "exact_dedup", "similarity_dedup", "curate_corpus", "top_bigrams",
     "dataset_split", "contamination_check", "line_dedup",
     "quality_filter", "stratified_sample", "incremental_dedup",
@@ -287,8 +293,9 @@ _DRIVER_ORDER = [
     "repetition_stats", "chunk_documents", "pack_manifest",
     "source_quota", "length_percentiles", "url_normalize",
     "sessionize", "tumbling_window", "clicks_asof_views",
-    "pricing_summary", "customers_no_orders",
+    "pricing_summary",
     # ---- beyond the 50-query window ----
+    "customers_no_orders",
     "top_parts", "orders_filter", "events_by_type", "brand_revenue",
     "region_customers", "user_top_events", "error_recent_activity",
     "domain_content_links", "expert_domain_links", "fingerprints",
@@ -1187,6 +1194,37 @@ def oracle_sql() -> dict[str, str]:
                                          1, 8))::BIGINT % 1000 AS bucket
                   FROM documents) b
               ON kk.doc_id = b.doc_id
+        """,
+        # literal replay of ops/filtering.py:span_dedup (span_tokens=20,
+        # min_count=2) — the SQL groups by the span STRING where the
+        # engine groups by its rolling 64-bit hash (the documented
+        # ~2^-64 collision approximation); DuckDB list slices are
+        # 1-based inclusive, so window i covers tokens i-19..i
+        "span_dedup": """
+            WITH lists AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   w -> w <> '') AS l
+                FROM documents
+            ), spans AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(20, len(l) + 1),
+                              i -> array_to_string(l[i-19:i], ' ')))
+                           AS s
+                FROM lists
+            ), c AS (
+                SELECT s, COUNT(*) AS cnt FROM spans GROUP BY s
+            ), per AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_spans,
+                       SUM((c.cnt >= 2)::BIGINT) AS n_dup
+                FROM spans JOIN c USING (s) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(per.n_dup, 0) AS BIGINT)
+                       AS n_dup_spans
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         # concat-then-split packing manifest: the window-function prefix
         # sum is the SQL statement of the engine's two-level distributed

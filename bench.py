@@ -146,6 +146,9 @@ def run_bench() -> dict:
         # docs, making the timing vacuous)
         "curate_pipeline": lambda: filtering.curate_pipeline(
             sf_dir, min_words=20, max_dup_frac_milli=600),
+        # exact-substring (token-span) dedup scoring (round 5)
+        "span_dedup": lambda: filtering.span_dedup(sf_dir,
+                                                   span_tokens=20),
     }
     for name, fn in suite.items():
         t0 = time.time()

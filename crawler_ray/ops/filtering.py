@@ -12,6 +12,8 @@ and the pair-building dedup family (``dedup``):
 - ``length_percentiles``— exact corpus length percentiles via histogram
 - ``curate_pipeline``   — the fused line_dedup -> normalize -> quality
   -> exact-dedup -> split chain as one plan
+- ``span_dedup``        — duplicated-span detection (exact-substring
+  dedup at token granularity, Lee et al. 2022)
 
 Every operator is a streaming Ray Data plan over the documents table and
 has a DuckDB twin in ``__ray_entry__.oracle_sql`` (rows+schema+hash
@@ -29,7 +31,8 @@ import pyarrow as pa
 
 __all__ = ["line_dedup", "quality_filter", "source_quota",
            "stratified_sample", "incremental_dedup", "normalize_text",
-           "shuffle_corpus", "length_percentiles", "curate_pipeline"]
+           "shuffle_corpus", "length_percentiles", "curate_pipeline",
+           "span_dedup"]
 
 
 def _rd():
@@ -1021,3 +1024,168 @@ def curate_pipeline(sf_dir: str, min_count: int = 2,
         return t.filter(pa.array(keep)).select(out_cols)
 
     return joined.map_batches(post, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection (exact-substring dedup, token granularity)
+# ---------------------------------------------------------------------------
+
+_SPAN_CACHE: dict = {}
+
+
+def span_dedup(sf_dir: str, span_tokens: int = 50, min_count: int = 2,
+               broadcast_threshold: int = 5_000_000,
+               join_partitions: int | None = None):
+    """Duplicated-span detection — the token-granularity form of exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", §3: memorization-prone exact repeats
+    are substrings, not whole documents): every consecutive
+    ``span_tokens``-token window of every document is hashed; a span
+    occurring ``min_count``+ times ACROSS THE CORPUS (within-doc
+    repeats count) is duplicated.  Output per document: (doc_id,
+    n_spans, n_dup_spans) — n_spans = max(0, n_tokens - span + 1), and
+    a downstream gate can cut on n_dup_spans/n_spans.  Token definition
+    is the suite-wide non-empty single-space split; window hashes are
+    the contamination_check rolling construction (splitmix64-diffused
+    FNV over md5-low64 token hashes), so grouping carries the module's
+    documented ~2^-64 collision approximation while the DuckDB twin
+    groups by the span STRING.
+
+    Plan shape (the line_dedup pattern):
+
+    1. count pass — per-batch window hashes pre-tallied to (8-byte
+       hash, count) partials through the hash-range exchange; common
+       spans (count >= min_count) come back as per-range sorted refs;
+    2. score pass — under ``broadcast_threshold`` the common set ships
+       once via ``ray.put`` (zero-copy plasma mapping per node) and ONE
+       scan emits (doc_id, n_spans, n_dup_spans) by vectorized
+       searchsorted membership + bincount;
+    3. above the threshold nothing broadcasts: the scan emits light
+       (doc_id, span_hash) member candidates that inner-join the
+       common refs (8-byte keys, never text), per-batch tallies reduce
+       to (doc_id, n_dup) partials, and ONE hash-range exchange on
+       doc_id sums them with the per-doc totals stream — zero-span and
+       zero-dup documents still emit rows because the totals stream
+       covers every document.  Both paths are pytest-pinned identical.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from crawler_ray.ops.dedup import (_join_partitions, _splitmix64,
+                                       _token_hashes)
+    from crawler_ray.ops.exchange import exchange_reduce
+
+    n = int(span_tokens)
+    _FNV = np.uint64(1099511628211)
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def _windows(t: pa.Table):
+        """(window_row_idx, window_hash uint64, tokens_per_row)."""
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        mask = flat != ""
+        flat, row_idx = flat[mask], row_idx[mask]
+        ntok = np.bincount(row_idx,
+                           minlength=len(lens)).astype(np.int64)
+        m = len(flat) - n + 1
+        if m <= 0:
+            return (np.array([], dtype=np.int64),
+                    np.array([], dtype=np.uint64), ntok)
+        hs = _token_hashes(list(flat))
+        with np.errstate(over="ignore"):
+            acc = hs[:m].copy()
+            for j in range(1, n):
+                acc = _splitmix64(acc * _FNV + hs[j:j + m])
+        same = row_idx[:m] == row_idx[n - 1:]
+        return row_idx[:m][same], acc[same], ntok
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, h, _ = _windows(t)
+        uniq, counts = np.unique(h.view(np.int64), return_counts=True)
+        return pa.table({"h": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    part = ds.map_batches(count_partial,
+                          batch_format="pyarrow").materialize()
+    n_common, common_refs = _exchange_common_keys(part, "h", "n",
+                                                  min_count)
+
+    if n_common <= broadcast_threshold:
+        arr = np.concatenate(
+            [t["h"].to_numpy() for t in ray.get(common_refs)])
+        common_ref = ray.put(arr.astype(np.int64, copy=False))
+
+        def score(t: pa.Table) -> pa.Table:
+            srt = _SPAN_CACHE.get(common_ref.hex())
+            if srt is None:
+                _SPAN_CACHE.clear()
+                srt = ray.get(common_ref)
+                _SPAN_CACHE[common_ref.hex()] = srt
+            ridx, h, ntok = _windows(t)
+            h = h.view(np.int64)
+            if len(srt) and len(h):
+                pos = np.searchsorted(srt, h)
+                np.clip(pos, 0, len(srt) - 1, out=pos)
+                member = srt[pos] == h
+            else:
+                member = np.zeros(len(h), dtype=bool)
+            n_dup = (np.bincount(ridx[member], minlength=t.num_rows)
+                     .astype(np.int64) if member.any()
+                     else np.zeros(t.num_rows, dtype=np.int64))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "n_spans": pa.array(np.maximum(ntok - n + 1, 0),
+                                    pa.int64()),
+                "n_dup_spans": pa.array(n_dup, pa.int64()),
+            })
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # join path: totals partials cover every doc; member tallies come
+    # from an 8-byte-key inner join against the common refs; one
+    # exchange on doc_id sums both streams
+    def totals_partial(t: pa.Table) -> pa.Table:
+        _, _, ntok = _windows(t)
+        ids = t["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_spans": pa.array(
+                np.maximum(ntok - n + 1, 0)[order], pa.int64()),
+            "n_dup_spans": pa.array(np.zeros(len(ids), np.int64),
+                                    pa.int64()),
+        })
+
+    def light_rows(t: pa.Table) -> pa.Table:
+        ridx, h, _ = _windows(t)
+        ids = t["doc_id"].to_numpy()[ridx] if len(ridx) else \
+            np.array([], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "h": pa.array(h.view(np.int64), pa.int64())})
+
+    def tally(t: pa.Table) -> pa.Table:
+        ids, counts = np.unique(t["doc_id"].to_numpy(),
+                                return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_spans": pa.array(np.zeros(len(ids), np.int64),
+                                pa.int64()),
+            "n_dup_spans": pa.array(counts.astype(np.int64),
+                                    pa.int64()),
+        })
+
+    common_r = _rd().from_arrow_refs(list(common_refs))
+    members = (ds.map_batches(light_rows, batch_format="pyarrow")
+               .join(common_r, "inner",
+                     num_partitions=_join_partitions(join_partitions),
+                     on=("h",)))
+    dup_part = members.map_batches(tally, batch_format="pyarrow")
+    totals = ds.map_batches(totals_partial, batch_format="pyarrow")
+    both = totals.union(dup_part).materialize()
+    _, refs = exchange_reduce(both, "doc_id",
+                              sum_cols=("n_spans", "n_dup_spans"))
+    return _rd().from_arrow_refs(list(refs))

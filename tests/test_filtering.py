@@ -363,3 +363,82 @@ def test_curate_pipeline_empty_survivors(ray_session, tmp_path):
     assert out.count() == 0
     out_j = filtering.curate_pipeline(sf, broadcast_threshold=0)
     assert out_j.count() == 0
+
+
+# -- span_dedup (exact-substring scoring) ------------------------------------
+
+@pytest.fixture()
+def span_sf(tmp_path):
+    """Planted duplicated spans: docs 0 and 1 share a 6-token run in
+    different surrounding text; doc 2 repeats a span within itself;
+    doc 3 is all-unique; doc 4 is shorter than the window."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    return _write_docs(tmp_path, [
+        f"one two {shared} three four",
+        f"nine ten {shared} eleven",
+        "rep one two three rep one two three rep one two three",
+        "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9",
+        "too short",
+    ])
+
+
+def test_span_dedup_planted(ray_session, span_sf):
+    out = {r["doc_id"]: r
+           for r in filtering.span_dedup(span_sf,
+                                         span_tokens=6).take_all()}
+    assert len(out) == 5
+    # doc 0: 10 tokens -> 5 windows; exactly the shared window dups
+    assert out[0]["n_spans"] == 5
+    assert out[0]["n_dup_spans"] == 1
+    # doc 1: 9 tokens -> 4 windows; one is the shared span
+    assert out[1]["n_spans"] == 4
+    assert out[1]["n_dup_spans"] == 1
+    # doc 2: "rep one two three" x3 = 12 tokens -> 7 windows; the
+    # 4-token period makes windows at offsets 0..3 repeat at 4..7:
+    # windows 0-2 equal windows 4-6 pairwise; window 3 ('three rep one
+    # two' starting at offset 3) occurs twice too -> ALL 7 dup? verify
+    # by replay below instead of hand-counting
+    assert out[2]["n_spans"] == 7
+    assert out[2]["n_dup_spans"] >= 6
+    assert out[3]["n_dup_spans"] == 0
+    # doc 4: 2 tokens < window -> zero spans, still a row
+    assert (out[4]["n_spans"], out[4]["n_dup_spans"]) == (0, 0)
+
+
+def test_span_dedup_matches_duckdb_replay(ray_session, span_sf):
+    """Bit-exact vs the string-grouping DuckDB replay (the oracle
+    construction) at window 6 on the planted corpus."""
+    import duckdb
+    got = (filtering.span_dedup(span_sf, span_tokens=6).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = duckdb.sql(f"""
+        WITH lists AS (
+            SELECT doc_id, list_filter(string_split(text,' '),
+                                       w -> w <> '') AS l
+            FROM read_parquet('{span_sf}/documents.parquet')
+        ), spans AS (
+            SELECT doc_id, unnest(list_transform(range(6, len(l)+1),
+                          i -> array_to_string(l[i-5:i], ' '))) AS s
+            FROM lists
+        ), c AS (SELECT s, COUNT(*) cnt FROM spans GROUP BY s),
+        per AS (SELECT doc_id, COUNT(*) n_spans,
+                       SUM((c.cnt >= 2)::BIGINT) n_dup
+                FROM spans JOIN c USING (s) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_spans,0) AS BIGINT) n_spans,
+               CAST(COALESCE(per.n_dup,0) AS BIGINT) n_dup_spans
+        FROM read_parquet('{span_sf}/documents.parquet') d
+        LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+    """).df()
+    assert got["n_spans"].tolist() == exp["n_spans"].tolist()
+    assert got["n_dup_spans"].tolist() == exp["n_dup_spans"].tolist()
+
+
+def test_span_dedup_join_path_equivalent(ray_session, span_sf):
+    key = lambda r: r["doc_id"]
+    bc = sorted(filtering.span_dedup(span_sf,
+                                     span_tokens=6).take_all(), key=key)
+    jn = sorted(filtering.span_dedup(span_sf, span_tokens=6,
+                                     broadcast_threshold=0).take_all(),
+                key=key)
+    assert bc == jn

@@ -125,7 +125,7 @@ def main() -> None:
                  "contamination_check", "line_dedup", "quality_filter",
                  "source_quota", "stratified_sample",
                  "incremental_dedup", "normalize_text",
-                 "shuffle_corpus", "curate_pipeline"):
+                 "shuffle_corpus", "curate_pipeline", "span_dedup"):
         sink = os.path.join(WORK, "out", name)
         shutil.rmtree(sink, ignore_errors=True)
         t0 = time.time()
@@ -133,7 +133,8 @@ def main() -> None:
         # the driver query's relaxed gate constants — Gopher defaults
         # keep zero word-soup docs (dup_frac fails them all)
         kwargs = ({"min_words": 20, "max_dup_frac_milli": 600}
-                  if name == "curate_pipeline" else {})
+                  if name == "curate_pipeline" else
+                  {"span_tokens": 20} if name == "span_dedup" else {})
         ds = fn(sf, **kwargs)
         ds.write_parquet(sink)
         out["passes"][name] = round(time.time() - t0, 1)
@@ -246,6 +247,16 @@ def main() -> None:
         f"        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),"
         f"        1, 8))::BIGINT % 1000 < 200 THEN 'val'"
         f"        ELSE 'train' END)").fetchone()
+    # span_dedup: row-conserving; window totals replay exactly from
+    # token counts; dups never exceed totals
+    spd = q(f"SELECT count(*),"
+            f" sum(n_spans),"
+            f" sum((n_dup_spans > n_spans)::BIGINT) FROM "
+            f"read_parquet('{sums['span_dedup']}/*.parquet')").fetchone()
+    spd_exp = q(
+        f"SELECT sum(greatest(len(list_filter(string_split(text, ' '),"
+        f" w -> w <> '')) - 19, 0)) FROM read_parquet('{docs_pq}')"
+        ).fetchone()
     # normalize_text: row-conserving; no double spaces or edge spaces
     # survive in changed rows
     norm = q(f"SELECT count(*),"
@@ -281,6 +292,9 @@ def main() -> None:
         "curate_rows": int(cur[0]),
         "curate_winners_distinct": int(cur[0]) == int(cur[1]),
         "curate_split_sample_mismatches": int(cur_split[0]),
+        "span_rows": int(spd[0]),
+        "span_totals_exact": int(spd[1]) == int(spd_exp[0]),
+        "span_dups_bounded": int(spd[2]) == 0,
         "normalize_rows": int(norm[0]),
         "normalize_residual_ws": int(norm[1]),
         "stratified_replay_diff": int(strat_diff[0]),
@@ -303,6 +317,9 @@ def main() -> None:
           and out["invariants"]["shuffle_sample_rank_mismatches"] == 0
           and out["invariants"]["curate_winners_distinct"]
           and out["invariants"]["curate_split_sample_mismatches"] == 0
+          and out["invariants"]["span_rows"] == N_DOCS
+          and out["invariants"]["span_totals_exact"]
+          and out["invariants"]["span_dups_bounded"]
           and out["invariants"]["normalize_rows"] == N_DOCS
           and out["invariants"]["normalize_residual_ws"] == 0
           and out["invariants"]["stratified_replay_diff"] == 0)
