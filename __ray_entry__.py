@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_keep": dedup.embedding_dedup_keep,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
+        # nearest-centroid assignment against the deterministic
+        # k-lowest-vec_id seed set (SemDeDup-style cluster bucketing
+        # made SQL-checkable)
+        "embedding_assign": similarity.embedding_assign,
         "knn_ivf": similarity.knn_ivf,
         # LSH-bucketed ANN (multi-table sign-pattern hashes; recall
         # pytest-pinned vs brute force, rows-only: numpy RNG planes)
@@ -278,8 +282,8 @@ _DRIVER_ORDER = [
     "crawl_trace", "crawl_content_items", "crawl_host_rates",
     "crawl_failed_urls", "crawl_experts", "crawl_domain_content",
     # (c) code changed this round (hashkeys rewire + fused pipeline +
-    # the new span_dedup)
-    "span_dedup",
+    # the new span_dedup and embedding_assign)
+    "span_dedup", "embedding_assign",
     "exact_dedup", "similarity_dedup", "curate_corpus", "top_bigrams",
     "dataset_split", "contamination_check", "line_dedup",
     "quality_filter", "stratified_sample", "incremental_dedup",
@@ -293,9 +297,8 @@ _DRIVER_ORDER = [
     "repetition_stats", "chunk_documents", "pack_manifest",
     "source_quota", "length_percentiles", "url_normalize",
     "sessionize", "tumbling_window", "clicks_asof_views",
-    "pricing_summary",
     # ---- beyond the 50-query window ----
-    "customers_no_orders",
+    "pricing_summary", "customers_no_orders",
     "top_parts", "orders_filter", "events_by_type", "brand_revenue",
     "region_customers", "user_top_events", "error_recent_activity",
     "domain_content_links", "expert_domain_links", "fingerprints",
@@ -1452,6 +1455,28 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, vec_id) AS rnk
                 FROM scored)
             WHERE rnk <= 10
+        """,
+        # literal replay of ops/similarity.py:embedding_assign (k=8):
+        # centroids are the 8 lowest vec_ids; both engines score cosine
+        # in float64 and the sf corpus' minimum top-2 centroid gap
+        # (~4e-4) makes summation-order ulps unable to flip an argmax
+        "embedding_assign": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding AS cemb
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ), sims AS (
+                SELECT e.vec_id, c.cid,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(c.cemb AS DOUBLE[])) AS sim
+                FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cid) AS rk
+                FROM sims)
+            WHERE rk = 1
         """,
         "embedding_dup_pairs": _EMBEDDING_PAIRS_SQL,
         "payload_meta": """

@@ -149,6 +149,8 @@ def run_bench() -> dict:
         # exact-substring (token-span) dedup scoring (round 5)
         "span_dedup": lambda: filtering.span_dedup(sf_dir,
                                                    span_tokens=20),
+        # nearest-centroid assignment (round 5)
+        "embedding_assign": lambda: similarity.embedding_assign(sf_dir),
     }
     for name, fn in suite.items():
         t0 = time.time()

@@ -46,7 +46,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 __all__ = ["knn_bruteforce", "knn_ivf", "ivf_build_centroids",
-           "ivf_build_index", "knn_lsh", "lsh_build_index"]
+           "ivf_build_index", "knn_lsh", "lsh_build_index",
+           "embedding_assign"]
 
 _ANN_ROOT_ENV = "CRAWLER_RAY_ANN_ROOT"
 
@@ -702,3 +703,54 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 4,
                               batch_size=4096)
 
     return _final_topk_groups(partials, k)
+
+
+_ASSIGN_CACHE: dict = {}
+
+
+def embedding_assign(sf_dir: str, k: int = 8):
+    """Nearest-centroid assignment against a DETERMINISTIC seed set —
+    the k lowest vec_ids' embeddings are the centroids and every vector
+    joins its highest-cosine centroid (ties by lowest centroid id).
+    This is the assignment step of embedding-based data mixing
+    (SemDeDup / DataComp-style cluster bucketing) made SQL-checkable:
+    because the centroid set is a deterministic slice of the table, the
+    DuckDB twin replays the exact assignment with
+    ``list_cosine_similarity`` + ROW_NUMBER (both sides score in
+    float64; the sf corpus' minimum top-2 centroid gap is ~4e-4, so
+    summation-order ulps cannot flip an argmax).  Output: (vec_id,
+    centroid_id).
+
+    Plan: the k centroids ship once via ``ray.put`` (zero-copy per
+    node); each batch is one (B x d) @ (d x k) float64 matmul +
+    argmax — np.argmax takes the FIRST maximum, which on the
+    ascending-cid centroid matrix equals the SQL tie-break."""
+    import ray
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    seed = (ds.sort("vec_id").limit(k)
+            .take_all())  # k rows — the deterministic centroid slice
+    cids = np.array([r["vec_id"] for r in seed], dtype=np.int64)
+    cmat = np.asarray([r["embedding"] for r in seed], dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True),
+                       1e-12)
+    c_ref = ray.put((cids, cmat))
+
+    def assign(t: pa.Table) -> pa.Table:
+        got = _ASSIGN_CACHE.get(c_ref.hex())
+        if got is None:
+            _ASSIGN_CACHE.clear()
+            got = ray.get(c_ref)
+            _ASSIGN_CACHE[c_ref.hex()] = got
+        cids_, cmat_ = got
+        ids, mat = _batch_vectors(t)
+        sims = mat @ cmat_.T
+        best = sims.argmax(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "centroid_id": pa.array(cids_[best], pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=4096)

@@ -409,3 +409,36 @@ def test_payload_stats_magic_and_entropy(ray_session, tmp_path):
     c = Counter(b)
     h = -sum((v / len(b)) * math.log2(v / len(b)) for v in c.values())
     assert out[0]["entropy_milli"] == int(h * 1000)
+
+
+def test_embedding_assign_planted(ray_session, tmp_path):
+    """Nearest-centroid assignment with hand-checkable geometry: the
+    first k vectors are the centroids; every other vector is a noisy
+    copy of exactly one centroid, so its assignment is known."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.similarity import embedding_assign
+
+    rng = np.random.default_rng(7)
+    k, d, n = 3, 8, 60
+    cents = rng.normal(size=(k, d))
+    rows, expect = [], {}
+    for i in range(k):
+        rows.append((i, cents[i]))
+        expect[i] = i
+    for i in range(k, n):
+        c = i % k
+        rows.append((i, cents[c] + 0.01 * rng.normal(size=d)))
+        expect[i] = c
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].astype("float32").tolist()
+                               for r in rows],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    out = {r["vec_id"]: r["centroid_id"]
+           for r in embedding_assign(str(tmp_path), k=k).take_all()}
+    assert out == expect
