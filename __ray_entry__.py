@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII redaction / repetition quality / corpus bigrams — the
         # standard curation passes of a training-data pipeline, all
         # with literal SQL replays
+        "bpe_token_counts": textstats.bpe_token_counts,
         "pii_scrub": textstats.pii_scrub,
         "repetition_stats": textstats.repetition_stats,
         "top_bigrams": textstats.top_bigrams,
@@ -283,7 +284,7 @@ _DRIVER_ORDER = [
     "crawl_failed_urls", "crawl_experts", "crawl_domain_content",
     # (c) code changed this round (hashkeys rewire + fused pipeline +
     # the new span_dedup and embedding_assign)
-    "span_dedup", "embedding_assign",
+    "span_dedup", "embedding_assign", "bpe_token_counts",
     "exact_dedup", "similarity_dedup", "curate_corpus", "top_bigrams",
     "dataset_split", "contamination_check", "line_dedup",
     "quality_filter", "stratified_sample", "incremental_dedup",
@@ -296,8 +297,9 @@ _DRIVER_ORDER = [
     "lang_id", "text_quality", "classify_docs", "pii_scrub",
     "repetition_stats", "chunk_documents", "pack_manifest",
     "source_quota", "length_percentiles", "url_normalize",
-    "sessionize", "tumbling_window", "clicks_asof_views",
+    "sessionize", "tumbling_window",
     # ---- beyond the 50-query window ----
+    "clicks_asof_views",
     "pricing_summary", "customers_no_orders",
     "top_parts", "orders_filter", "events_by_type", "brand_revenue",
     "region_customers", "user_top_events", "error_recent_activity",
@@ -845,6 +847,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
                        AS n_tokens
+            FROM documents
+        """,
+        # the literal same RE2 pattern the engine counts with
+        # (GPT-2 pre-tokenizer minus its lookahead clause -- RE2
+        # has none on either side, so the engines agree by
+        # construction; the leading apostrophe is SQL-doubled)
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                        AS BIGINT) AS n_bpe_tokens,
+                   CAST(len(regexp_extract_all(text, '\S+'))
+                        AS BIGINT) AS n_ws_tokens
             FROM documents
         """,
         # literal replay of ops/textstats.py:pii_scrub — same RE2

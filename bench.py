@@ -151,6 +151,8 @@ def run_bench() -> dict:
                                                    span_tokens=20),
         # nearest-centroid assignment (round 5)
         "embedding_assign": lambda: similarity.embedding_assign(sf_dir),
+        # GPT-2-style pre-tokenizer count (round 5)
+        "bpe_token_counts": lambda: textstats.bpe_token_counts(sf_dir),
     }
     for name, fn in suite.items():
         t0 = time.time()

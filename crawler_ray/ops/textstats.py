@@ -14,7 +14,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["token_counts", "lang_id", "text_quality", "fingerprints",
+__all__ = ["token_counts", "bpe_token_counts", "lang_id", "text_quality", "fingerprints",
            "classify_docs", "classify_docs_model", "curate_corpus",
            "pii_scrub", "repetition_stats", "top_bigrams",
            "dataset_split", "chunk_documents", "pack_manifest",
@@ -39,6 +39,38 @@ def token_counts(sf_dir: str):
         return pa.table({
             "doc_id": t["doc_id"],
             "n_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+_BPE_PAT = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+            r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_counts(sf_dir: str):
+    """(doc_id, n_bpe_tokens, n_ws_tokens) — the BPE-ish pre-tokenizer
+    count next to the whitespace count: the GPT-2 pre-tokenizer pattern
+    with its lookahead clause dropped (RE2 has no lookahead; both
+    pyarrow and DuckDB run RE2, so the simplified pattern means exactly
+    the same thing on both sides — leftmost-first alternation
+    included).  The BPE-ish count is the standard loader-budget number
+    ("how many sequences will this corpus pack into"), the ratio
+    n_bpe/n_ws a cheap fertility proxy.  Pure Arrow RE2 kernels, zero
+    Python in the scan; SQL twin is the literal same pattern."""
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], _BPE_PAT),
+                pa.int64()),
+            "n_ws_tokens": pc.cast(
                 pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
         })
 

@@ -281,3 +281,26 @@ def test_cross_op_token_invariants(ray_session, tmp_path):
             assert whole == " ".join(toks)
         else:
             assert i not in rep and i not in chunks
+
+
+def test_bpe_token_counts_known_values(ray_session, tmp_path):
+    """BPE-ish pre-tokenizer counts on hand-checkable strings, plus the
+    whitespace count in the same row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.ops.textstats import bpe_token_counts
+
+    texts = ["Hello world, it's 2026!",   # Hello/ world/,/ it/'s/ 2026/!
+             "",
+             "a'b''s"]                    # a/'/b/'/'s
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r
+           for r in bpe_token_counts(str(tmp_path)).take_all()}
+    assert out[0]["n_bpe_tokens"] == 7
+    assert out[0]["n_ws_tokens"] == 4
+    assert (out[1]["n_bpe_tokens"], out[1]["n_ws_tokens"]) == (0, 0)
+    assert out[2]["n_bpe_tokens"] == 5
