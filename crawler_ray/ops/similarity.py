@@ -721,21 +721,20 @@ def embedding_assign(sf_dir: str, k: int = 8):
     summation-order ulps cannot flip an argmax).  Output: (vec_id,
     centroid_id).
 
-    Plan: the k centroids ship once via ``ray.put`` (zero-copy per
-    node); each batch is one (B x d) @ (d x k) float64 matmul +
-    argmax — np.argmax takes the FIRST maximum, which on the
-    ascending-cid centroid matrix equals the SQL tie-break."""
+    Plan: the k centroids come from the ``_load_queries`` distributed
+    min-k combiner + pruned point read (NOT a full ``Dataset.sort`` —
+    an all-to-all sort for k rows is the exact anti-pattern the
+    min-k/top-k combiners exist to avoid) and ship once via
+    ``ray.put`` (zero-copy per node); each batch is one
+    (B x d) @ (d x k) float64 matmul + argmax — np.argmax takes the
+    FIRST maximum, which on the ascending-cid centroid matrix equals
+    the SQL tie-break."""
     import ray
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
-    seed = (ds.sort("vec_id").limit(k)
-            .take_all())  # k rows — the deterministic centroid slice
-    cids = np.array([r["vec_id"] for r in seed], dtype=np.int64)
-    cmat = np.asarray([r["embedding"] for r in seed], dtype=np.float64)
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True),
-                       1e-12)
-    c_ref = ray.put((cids, cmat))
+    cids, cmat = _load_queries(sf_dir, k)  # normalized, cid-ascending
+    c_ref = ray.put((cids.astype(np.int64), cmat))
 
     def assign(t: pa.Table) -> pa.Table:
         got = _ASSIGN_CACHE.get(c_ref.hex())
