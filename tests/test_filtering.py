@@ -442,3 +442,17 @@ def test_span_dedup_join_path_equivalent(ray_session, span_sf):
                                      broadcast_threshold=0).take_all(),
                 key=key)
     assert bc == jn
+
+
+def test_span_dedup_empty_and_short_corpus(ray_session, tmp_path):
+    """Zero-row and all-too-short corpora yield typed results on both
+    planner paths (no windows anywhere -> all zero counts)."""
+    sf = _write_docs(tmp_path, ["a b", "c"])
+    out = {r["doc_id"]: r
+           for r in filtering.span_dedup(sf, span_tokens=6).take_all()}
+    assert {k: (v["n_spans"], v["n_dup_spans"])
+            for k, v in out.items()} == {0: (0, 0), 1: (0, 0)}
+    jn = {r["doc_id"]: r
+          for r in filtering.span_dedup(
+              sf, span_tokens=6, broadcast_threshold=0).take_all()}
+    assert out == jn
