@@ -537,7 +537,10 @@ def source_quota(sf_dir: str, quota: int = 50):
         df = t.to_pandas()
         df = (df.sort_values("doc_id")
               .groupby("source", sort=False).head(quota))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # strip the pandas schema metadata: blocks with embedded dict
+        # metadata defeat Ray's schema dedup (it warns per block)
+        return (pa.Table.from_pandas(df, preserve_index=False)
+                .replace_schema_metadata(None))
 
     def rank(df):
         df = df.sort_values("doc_id").head(quota).copy()
