@@ -157,6 +157,20 @@ def cmd_curate(args) -> int:
                 or getattr(filtering, name)
             ds = fn(args.sf_dir)
             ds.write_parquet(out_dir)
+            # a zero-row result writes NO files (and no directory —
+            # the marker write below would crash); leave a typed empty
+            # parquet so the pass directory is always readable
+            os.makedirs(out_dir, exist_ok=True)
+            import glob as _glob
+            if not _glob.glob(os.path.join(out_dir, "*.parquet")):
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                s = ds.schema(fetch_if_missing=True)
+                if s is not None:
+                    pq.write_table(
+                        pa.schema(list(zip(s.names,
+                                           s.types))).empty_table(),
+                        os.path.join(out_dir, "empty-0.parquet"))
             with open(marker, "w"):
                 pass
             done[name] = "written"

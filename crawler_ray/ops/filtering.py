@@ -961,6 +961,17 @@ def curate_pipeline(sf_dir: str, min_count: int = 2,
     # text ends here: the materialized survivor stream is ids + stats +
     # hashes only, consumed twice (winner partials + the final filter)
     gated = ld.map_batches(gate, batch_format="pyarrow").materialize()
+    if gated.count() == 0:
+        # all-empty blocks lose their schema in Ray; hand back a TYPED
+        # empty so sinks and readers always see the output columns
+        out_empty = pa.schema([("doc_id", pa.int64()),
+                               ("n_lines", pa.int64()),
+                               ("n_dropped", pa.int64()),
+                               ("n_words", pa.int64()),
+                               ("n_copies", pa.int64()),
+                               ("text_hash", pa.string()),
+                               ("split", pa.string())])
+        return _rd().from_arrow(out_empty.empty_table())
 
     def win_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

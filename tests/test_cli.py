@@ -105,3 +105,19 @@ def test_curate_cli_fused_pipeline(tmp_path, capsys, ray_session):
     assert sorted(d.schema.names) == [
         "doc_id", "n_copies", "n_dropped", "n_lines", "n_words",
         "split", "text_hash"]
+
+
+def test_curate_cli_zero_row_pass_is_readable(tmp_path, capsys,
+                                              ray_session):
+    """A pass whose result is empty (Gopher defaults keep zero docs of
+    the sf word-soup) must still leave a READABLE parquet directory —
+    a typed empty file, not a bare _SUCCESS marker."""
+    import pyarrow.dataset as pads
+
+    out = str(tmp_path / "curated")
+    assert main(["curate", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out, "--passes", "curate_pipeline"]) == 0
+    d = pads.dataset(os.path.join(out, "curate_pipeline"),
+                     format="parquet")
+    assert d.count_rows() == 0
+    assert "doc_id" in d.schema.names and "split" in d.schema.names
