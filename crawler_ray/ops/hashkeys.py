@@ -42,7 +42,11 @@ def _con():
     if _CON is None:
         import duckdb
         _CON = duckdb.connect()
+        # one CPU and a small arena per worker: 32 workers each holding
+        # a default-limit (80%-of-RAM) connection would be a footgun,
+        # even though the md5 kernels never buffer
         _CON.execute("SET threads=1")
+        _CON.execute("SET memory_limit='256MB'")
     return _CON
 
 
